@@ -1,0 +1,116 @@
+"""Ray-depth sampling: stratified coarse samples and inverse-CDF fine samples.
+
+The hierarchical sampler matches the reference (recon_NeRF/lib/renderer.py:166-178,
+:551-581): coarse density -> alpha weights -> ``sample_pdf`` over bin midpoints ->
+merged and sorted z values. Randomness is explicit via PRNG keys (the reference used
+implicit global torch RNG).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z_vals(
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    n_samples: int,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Evenly spaced depths in [near, far], optionally jittered per-interval.
+
+    Mirrors run_nerf_batch.py:46-55. ``near``/``far`` have shape ``(...,)``; output is
+    ``(..., n_samples)``. Pass ``key=None`` for deterministic (eval) sampling.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=near.dtype)
+    z = near[..., None] * (1.0 - t) + far[..., None] * t
+    if key is not None:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        u = jax.random.uniform(key, z.shape, dtype=z.dtype)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_samples`` depths from a piecewise-constant pdf.
+
+    Matches renderer.py:551-581 (searchsorted right=True, denom<1e-5 guard). ``bins``
+    is ``(..., B)``, ``weights`` is ``(..., B-1)``; deterministic (linspace u) when
+    ``key`` is None, matching the reference's ``det=True`` path.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., B)
+
+    u_shape = cdf.shape[:-1] + (n_samples,)
+    if key is None:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype), u_shape
+        )
+    else:
+        u = jax.random.uniform(key, u_shape, dtype=cdf.dtype)
+
+    # Batched searchsorted(side='right'): count of cdf entries <= u. The compare-all
+    # formulation is a dense (..., S, B) mask reduce — ideal for the VPU; B and S are
+    # ~128 so the mask is tiny relative to the feature gathers.
+    inds = (cdf[..., None, :] <= u[..., :, None]).sum(axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_b) / denom
+    return bins_b + t * (bins_a - bins_b)
+
+
+def upsample_z_vals(
+    densities: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    n_importance: int,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Importance-sample new depths from coarse densities (renderer.py:166-178).
+
+    Args:
+      densities: raw (pre-softplus) densities ``(..., R, S)``.
+      z_vals: coarse depths ``(..., R, S)``.
+      rays_d: ``(..., R, 3)`` un-normalized directions (dists are scaled by ``||d||``
+        here, exactly like the reference's up_sample — note render-core alpha does NOT
+        apply that scaling; see nerf/renderer.py).
+      n_importance: number of new samples.
+
+    Returns new z values ``(..., R, n_importance)`` (unsorted).
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    ) * jnp.linalg.norm(rays_d, axis=-1)[..., None]
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(densities) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    return sample_pdf(z_mid, weights[..., 1:-1], n_importance, key=key)
+
+
+def merge_z_vals(z_vals: jnp.ndarray, new_z_vals: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate coarse+fine depths and sort (renderer.py:268-269)."""
+    return jnp.sort(jnp.concatenate([z_vals, new_z_vals], axis=-1), axis=-1)
