@@ -1,0 +1,115 @@
+"""Point canonicalization: deform observation-space samples into the shared big pose.
+
+TPU-native replacement for the reference's ``deform_target2c_op``
+(recon_NeRF/lib/renderer.py:60-122), which used pytorch3d's CUDA ``knn_points``.
+Here the 1-NN against the SMPL vertices is a tiled matmul (MXU) + argmin (VPU):
+``||q - v||^2 = |q|^2 - 2 q·v + |v|^2`` — the |q|^2 term is argmin-invariant and
+dropped. Query sets of ~1M points tile over a ``lax.map`` to bound memory.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from humanliff_tpu.bodymodel.smpl import BodyModel, transform_params, _pose_offsets
+from humanliff_tpu.bodymodel.rotations import batch_rodrigues
+
+
+def nearest_vertex(
+    query: jnp.ndarray, verts: jnp.ndarray, tile: int = 8192
+) -> jnp.ndarray:
+    """Index of the nearest vertex for each query point.
+
+    Args:
+      query: (M, 3); verts: (V, 3). ``tile`` bounds the (tile, V) distance block.
+
+    Returns int32 indices (M,).
+    """
+    M = query.shape[0]
+    v_sq = (verts * verts).sum(-1)  # (V,)
+
+    def one_tile(q: jnp.ndarray) -> jnp.ndarray:
+        # (tile, V) partial distances on the MXU.
+        d = v_sq[None, :] - 2.0 * (q @ verts.T)
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    if M <= tile:
+        return one_tile(query)
+    pad = (-M) % tile
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    out = jax.lax.map(one_tile, q.reshape(-1, tile, 3))
+    return out.reshape(-1)[:M]
+
+
+def deform_to_canonical(
+    model: BodyModel,
+    poses: jnp.ndarray,
+    betas: jnp.ndarray,
+    big_poses: jnp.ndarray,
+    smpl_verts: jnp.ndarray,
+    query_pts: jnp.ndarray,
+    query_dirs: Optional[jnp.ndarray] = None,
+    expression: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Inverse-LBS observation points to the canonical big pose.
+
+    Single-item version (vmap over a batch); reproduces renderer.py:60-122:
+      1. 1-NN skinning-weight lookup against the posed SMPL-space vertices,
+      2. inverse rigid skinning to the T-pose,
+      3. subtract pose + shape blendshape offsets (to the mean shape),
+      4. add the big pose's pose offsets and forward-skin into the big pose.
+
+    Args:
+      poses: (J*3,) axis-angle of the observed pose.
+      betas: (n_betas,) shape of the observed body.
+      big_poses: (J*3,) the shared canonical pose.
+      smpl_verts: (V, 3) posed SMPL vertices in SMPL space (already R/Th removed).
+      query_pts: (M, 3) sample points in SMPL space.
+      query_dirs: optional (M, 3) view directions to co-rotate.
+
+    Returns (canonical points (M, 3), canonical dirs or None).
+    """
+    poses_b = poses[None]
+    betas_b = betas[None]
+    expr_b = None if expression is None else expression[None]
+
+    A, _ = transform_params(model, poses_b, betas_b, expr_b)  # (1, J, 4, 4)
+    J = A.shape[1]
+
+    vert_ids = nearest_vertex(query_pts, smpl_verts)  # (M,)
+    bweights = jnp.asarray(model.weights, jnp.float32)[vert_ids]  # (M, J)
+
+    # Per-point blended transform, then invert the rotation part.
+    A_pt = (bweights @ A[0].reshape(J, 16)).reshape(-1, 4, 4)  # (M, 4, 4)
+    can = query_pts - A_pt[:, :3, 3]
+    R_inv = jnp.linalg.inv(A_pt[:, :3, :3])
+    can = (R_inv @ can[..., None])[..., 0]
+    if query_dirs is not None:
+        query_dirs = (R_inv @ query_dirs[..., None])[..., 0]
+
+    # Remove pose blendshape offsets of the observed pose (gathered per 1-NN vertex).
+    rot_mats = batch_rodrigues(poses_b.reshape(1, -1, 3))
+    pose_off = _pose_offsets(model, rot_mats)[0][vert_ids]  # (M, 3)
+    can = can - pose_off
+
+    # Remove shape offsets (to the mean shape).
+    shapedirs = jnp.asarray(model.shapedirs, jnp.float32)
+    shape_off = jnp.einsum("vdn,n->vd", shapedirs, betas)[vert_ids]
+    can = can - shape_off
+
+    # Forward into the big pose (zero shape), adding its pose offsets.
+    big_b = big_poses[None]
+    big_rot = batch_rodrigues(big_b.reshape(1, -1, 3))
+    big_off = _pose_offsets(model, big_rot)[0][vert_ids]
+    can = can + big_off
+
+    A_big, _ = transform_params(model, big_b, jnp.zeros_like(betas_b), expr_b)
+    A_pt = (bweights @ A_big[0].reshape(J, 16)).reshape(-1, 4, 4)
+    can = (A_pt[:, :3, :3] @ can[..., None])[..., 0] + A_pt[:, :3, 3]
+    if query_dirs is not None:
+        query_dirs = (A_pt[:, :3, :3] @ query_dirs[..., None])[..., 0]
+        return can, query_dirs
+    return can, None
