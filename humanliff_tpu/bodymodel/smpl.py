@@ -19,7 +19,7 @@ from humanliff_tpu.bodymodel.rotations import batch_rodrigues
 from humanliff_tpu.bodymodel.kinematics import rigid_transform_chain
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)  # eq=False: hashable by id (usable as jit static arg)
 class BodyModel:
     """Static body-model arrays (host numpy; moved to device on first use).
 
