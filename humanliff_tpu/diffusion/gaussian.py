@@ -65,6 +65,9 @@ class GaussianDiffusion:
     model_var_type: ModelVarType = ModelVarType.FIXED_LARGE
     loss_type: LossType = LossType.MSE
     rescale_timesteps: bool = True
+    # Channel axis for learned-sigma splits: 1 for NCHW (reference), -1 for the
+    # NHWC-native stage-2 pipeline.
+    channel_axis: int = 1
     # respacing support (identity when not respaced): original-T index per step.
     timestep_map: Optional[np.ndarray] = None
     original_num_steps: Optional[int] = None
@@ -185,11 +188,12 @@ class GaussianDiffusion:
         """Posterior p(x_{t-1} | x_t) parameters from the model output
         (gaussian_diffusion.py:232-326)."""
         model_kwargs = model_kwargs or {}
-        B, C = x.shape[0], x.shape[1]
         model_output = model_fn(x, self.scale_timesteps(t), x_cond, **model_kwargs)
 
         if self.model_var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
-            model_output, model_var_values = jnp.split(model_output, 2, axis=1)
+            model_output, model_var_values = jnp.split(
+                model_output, 2, axis=self.channel_axis
+            )
             if self.model_var_type == ModelVarType.LEARNED:
                 model_log_variance = model_var_values
                 model_variance = jnp.exp(model_log_variance)
@@ -393,9 +397,12 @@ class GaussianDiffusion:
         model_output = model_fn(x_t, self.scale_timesteps(t), x_cond, **model_kwargs)
 
         if self.model_var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
-            model_output, model_var_values = jnp.split(model_output, 2, axis=1)
+            model_output, model_var_values = jnp.split(
+                model_output, 2, axis=self.channel_axis
+            )
             frozen = jnp.concatenate(
-                [jax.lax.stop_gradient(model_output), model_var_values], axis=1
+                [jax.lax.stop_gradient(model_output), model_var_values],
+                axis=self.channel_axis,
             )
             terms["vb"] = self._vb_terms_bpd(
                 lambda *a, **k: frozen, x_start, x_t, t, x_cond, False
