@@ -34,7 +34,10 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
-        groups = min(self.num_groups, x.shape[-1])
+        C = x.shape[-1]
+        groups = min(self.num_groups, C)
+        if C % groups:  # only reachable in non-reference channel configs
+            groups = math.gcd(C, groups)
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32)(
             x.astype(jnp.float32)
         )

@@ -1,0 +1,9 @@
+"""Device-mesh setup and sharding helpers (the reference's dist_util equivalent)."""
+
+from humanliff_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    shard_stage1_params,
+    data_parallel_jit,
+)

@@ -1,0 +1,69 @@
+"""Mesh + sharding strategy.
+
+TPU-native replacement for the reference's NCCL/DDP stack (dist_util.py, DDP wraps in
+run_nerf_batch.py:114-118 and train_util.py:105-122):
+
+- One ``jax.sharding.Mesh`` with a ``data`` axis (ICI within a slice, DCN across
+  slices via ``jax.distributed.initialize`` on multihost).
+- Batches shard on ``data``; model params replicate. Gradient allreduce is the psum
+  XLA inserts under jit — no DDP hooks.
+- The Stage-1 tri-plane table ``(N, 4, 3, C3, D, D)`` shards by INSTANCE on the data
+  axis: each step's gather pulls only the batch's instances over ICI and the scatter
+  of their gradients goes back the same way — unlike the reference, which allreduces
+  the full table every step (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch with its leading axis sharded across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_stage1_params(params: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
+    """Tri-plane table sharded by instance; decoder replicated."""
+    plane_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    out = dict(params)
+    out["planes"] = jax.device_put(params["planes"], plane_sharding)
+    out["decoder"] = jax.tree.map(
+        lambda x: jax.device_put(x, replicated), params["decoder"]
+    )
+    return out
+
+
+def data_parallel_jit(fn, mesh: Mesh, axis_name: str = "data", **jit_kwargs):
+    """jit with explicit data-parallel in/out shardings for a (state, batch, key)
+    step function: state replicated, batch sharded on its leading axis."""
+    state_s = NamedSharding(mesh, P())
+    batch_s = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        fn,
+        in_shardings=(state_s, batch_s, state_s),
+        out_shardings=(state_s, state_s),
+        **jit_kwargs,
+    )
