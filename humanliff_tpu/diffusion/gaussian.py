@@ -103,8 +103,11 @@ class GaussianDiffusion:
         object.__setattr__(self, "sqrt_alphas_cumprod", np.sqrt(ac))
         object.__setattr__(self, "sqrt_one_minus_alphas_cumprod", np.sqrt(1.0 - ac))
         object.__setattr__(self, "log_one_minus_alphas_cumprod", np.log(1.0 - ac))
-        object.__setattr__(self, "sqrt_recip_alphas_cumprod", np.sqrt(1.0 / ac))
-        object.__setattr__(self, "sqrt_recipm1_alphas_cumprod", np.sqrt(1.0 / ac - 1))
+        with np.errstate(divide="ignore"):  # beta_T == 1 (tiny-T schedules) -> inf, used nowhere harmful
+            object.__setattr__(self, "sqrt_recip_alphas_cumprod", np.sqrt(1.0 / ac))
+            object.__setattr__(
+                self, "sqrt_recipm1_alphas_cumprod", np.sqrt(1.0 / ac - 1)
+            )
 
         pv = betas * (1.0 - ac_prev) / (1.0 - ac)
         object.__setattr__(self, "posterior_variance", pv)

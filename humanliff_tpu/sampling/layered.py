@@ -1,0 +1,102 @@
+"""Layer-wise progressive generation (reference: scripts/triplane_sample_layered.py).
+
+Layer k is generated with class label y=k, conditioned on layer k-1's generated
+tri-plane via the ControlNet branch (zeros for k=0; :124-134). The reference chains
+runs through per-layer npz files; here ``generate_all_layers`` runs the whole chain
+in-process (the npz contract is still available via train/checkpoint.py for
+cross-process parity).
+
+The denoise loop is a single compiled ``lax.scan`` per layer; generated planes decode
+to images through the frozen Stage-1 renderer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from humanliff_tpu.diffusion.gaussian import GaussianDiffusion
+
+LAYER_NAMES: List[str] = [
+    "person",
+    "person_pant",
+    "person_pant_shirt",
+    "person_pant_shirt_shoes",
+]
+
+
+def planes_image_to_triplane(x: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3*C3) NHWC sample -> (3, C3, H, W) renderer planes.
+
+    Channel layout is plane-major (the reference squeezes (3, 9, D, D) into 27,
+    triplane_datasets.py:110-111).
+    """
+    H, W, C = x.shape
+    return x.transpose(2, 0, 1).reshape(3, C // 3, H, W)
+
+
+def triplane_to_planes_image(planes: jnp.ndarray) -> jnp.ndarray:
+    """(3, C3, H, W) -> (H, W, 3*C3) NHWC diffusion image."""
+    n, c3, H, W = planes.shape
+    return planes.reshape(n * c3, H, W).transpose(1, 2, 0)
+
+
+def generate_layer(
+    model,
+    params,
+    diffusion: GaussianDiffusion,
+    layer_idx: int,
+    x_cond: Optional[jnp.ndarray],
+    key: jax.Array,
+    batch_size: int,
+    image_size: int,
+    channels: int,
+    use_ddim: bool = False,
+    clip_denoised: bool = True,
+    progress_fn: Optional[Callable[[int], None]] = None,
+) -> jnp.ndarray:
+    """Sample one layer's tri-planes: (B, H, W, C) in [-1, 1]."""
+    shape = (batch_size, image_size, image_size, channels)
+    if x_cond is None:
+        x_cond = jnp.zeros(shape, jnp.float32)
+    y = jnp.full((batch_size,), layer_idx, jnp.int32)
+
+    def model_fn(x, ts, xc, y=y):
+        return model.apply(params, x, ts, xc, y)
+
+    loop = diffusion.ddim_sample_loop if use_ddim else diffusion.p_sample_loop
+    return loop(
+        model_fn,
+        shape,
+        key,
+        x_cond=x_cond,
+        clip_denoised=clip_denoised,
+        model_kwargs={"y": y},
+    )
+
+
+def generate_all_layers(
+    model,
+    params,
+    diffusion: GaussianDiffusion,
+    key: jax.Array,
+    batch_size: int = 1,
+    image_size: int = 256,
+    channels: int = 27,
+    num_layers: int = 4,
+    use_ddim: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Run the full 4-layer progressive chain; returns {layer_name: (B, H, W, C)}."""
+    out: Dict[str, jnp.ndarray] = {}
+    x_cond = None
+    for k in range(num_layers):
+        key, sub = jax.random.split(key)
+        samples = generate_layer(
+            model, params, diffusion, k, x_cond, sub,
+            batch_size, image_size, channels, use_ddim,
+        )
+        out[LAYER_NAMES[k] if k < len(LAYER_NAMES) else f"layer_{k}"] = samples
+        x_cond = samples
+    return out

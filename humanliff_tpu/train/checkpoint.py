@@ -1,0 +1,94 @@
+"""Checkpointing: orbax for train states + the file-based stage-1 -> stage-2 contract.
+
+Reference artifacts being mirrored (SURVEY.md §5):
+- Stage-1 shared: ``{step:06d}`` checkpoint holding step, decoder params, the full
+  tri-plane table, and optimizer state (run_nerf_batch.py:321-330).
+- Stage-1 fine-tune: per-subject tri-plane-only files ``{human}_{step:06d}.npz``
+  (run_nerf_batch_ft.py:323-333).
+- Stage-2: model / per-rate EMA / optimizer (train_util.py:312-335); EMA params are
+  what sampling consumes.
+- Sampling chain: per-layer ``samples_*.npz`` consumed as next-layer conditioning
+  (triplane_sample_layered.py:229-244).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _path(base: str) -> str:
+    return os.path.abspath(base)
+
+
+def save_state(ckpt_dir: str, step: int, state: Any) -> str:
+    """Save a full train state (any pytree) under ckpt_dir/step."""
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(_path(ckpt_dir), f"{step:06d}")
+    ckptr.save(path, jax.tree.map(np.asarray, _strip_static(state)))
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_state(ckpt_dir: str, step: Optional[int] = None, target: Any = None):
+    """Restore the given (or latest) step. Returns (pytree, step) or (None, 0)."""
+    base = _path(ckpt_dir)
+    if step is None:
+        step = latest_step(base)
+        if step is None:
+            return None, 0
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(base, f"{step:06d}")
+    tgt = None if target is None else jax.tree.map(np.asarray, _strip_static(target))
+    restored = ckptr.restore(path, tgt)
+    return restored, step
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    base = _path(ckpt_dir)
+    if not os.path.isdir(base):
+        return None
+    steps = [
+        int(m.group(1))
+        for f in os.listdir(base)
+        if (m := re.fullmatch(r"(\d{6})", f))
+    ]
+    return max(steps) if steps else None
+
+
+def _strip_static(state: Any) -> Any:
+    """Drop non-pytree/static fields (e.g. the optax tx) for serialization."""
+    if hasattr(state, "replace") and hasattr(state, "tx"):
+        try:
+            return state.replace(tx=None)
+        except Exception:
+            return state
+    return state
+
+
+# ---------------- stage-1 <-> stage-2 file contract ----------------
+
+
+def save_subject_planes(path: str, planes: np.ndarray, step: int) -> None:
+    """Per-subject tri-plane artifact: (4, 3, C3, D, D) -> {human}_{step:06d}.npz."""
+    np.savez_compressed(path, tri_planes=np.asarray(planes), global_step=step)
+
+
+def load_subject_planes(path: str) -> np.ndarray:
+    with np.load(path) as z:
+        return z["tri_planes"]
+
+
+def save_samples_npz(path: str, samples: np.ndarray) -> None:
+    """Layer-sampling output; the next layer's x_cond input (arr_0 convention)."""
+    np.savez(path, samples)
+
+
+def load_samples_npz(path: str) -> np.ndarray:
+    with np.load(path) as z:
+        return z[z.files[0]]
