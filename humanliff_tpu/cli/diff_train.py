@@ -1,0 +1,142 @@
+"""Stage-2 diffusion training CLI (reference: scripts/image_train.py).
+
+Usage (flagship):
+  python -m humanliff_tpu.cli.diff_train --data_dir packed_planes.npy \
+      --batch_size 8 --microbatch 2 --lr 5e-5 --ema_rate 0.9999
+
+``--data_dir synthetic`` trains on random planes for smoke testing. The
+``DIFFUSION_TRAINING_TEST`` env var triggers an early exit after the first save,
+matching the reference's smoke-test hook (train_util.py:181-185).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from humanliff_tpu.models.factory import (
+    create_model_and_diffusion,
+    model_and_diffusion_defaults,
+)
+from humanliff_tpu.parallel import make_mesh, replicate, shard_batch
+from humanliff_tpu.train import checkpoint as ckpt
+from humanliff_tpu.train.stage2 import Stage2Config, create_stage2_state, train_step
+from humanliff_tpu.utils import logger as loglib
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("humanliff diff-train")
+    for k, v in model_and_diffusion_defaults().items():
+        t = type(v)
+        p.add_argument(f"--{k}", type=(lambda s: s.lower() == "true") if t is bool else t,
+                       default=v)
+    p.add_argument("--data_dir", type=str, default="synthetic")
+    p.add_argument("--logdir", type=str, default="./logs/diffusion")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--microbatch", type=int, default=0)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--lr_anneal_steps", type=int, default=0)
+    p.add_argument("--ema_rate", type=str, default="0.9999")
+    p.add_argument("--schedule_sampler", type=str, default="uniform")
+    p.add_argument("--use_amp", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--save_interval", type=int, default=50000)
+    p.add_argument("--total_steps", type=int, default=300000)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    if os.environ.get("HL_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.logdir, exist_ok=True)
+    log = loglib.configure(args.logdir, ["stdout", "csv", "json"])
+
+    model, diffusion = create_model_and_diffusion(
+        **{k: getattr(args, k) for k in model_and_diffusion_defaults()}
+    )
+    object.__setattr__(diffusion, "channel_axis", -1)  # NHWC pipeline
+
+    S, C = args.image_size, args.in_channels
+    x0 = np.zeros((1, S, S, C), np.float32)
+    params = jax.jit(model.init)(
+        jax.random.key(args.seed), x0, np.zeros((1,), np.float32), x0,
+        np.zeros((1,), np.int32),
+    )
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"UNet params: {n_params / 1e6:.1f}M")
+
+    cfg = Stage2Config(
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        lr_anneal_steps=args.lr_anneal_steps,
+        ema_rates=tuple(float(r) for r in args.ema_rate.split(",")),
+        microbatch=args.microbatch,
+        use_bf16=args.use_amp,
+        schedule_sampler=args.schedule_sampler,
+        class_cond=args.class_cond,
+    )
+    state = create_stage2_state(params, cfg, diffusion.num_timesteps)
+
+    restored, start = ckpt.restore_state(args.logdir, target=state)
+    if restored is not None:
+        state = state.replace(
+            step=restored.step, params=restored.params,
+            opt_state=restored.opt_state, ema_params=restored.ema_params,
+            sampler_state=restored.sampler_state,
+        )
+        print(f"resumed from step {start}")
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    if args.data_dir == "synthetic":
+        rng = np.random.default_rng(args.seed)
+
+        def next_batch():
+            x = rng.normal(scale=0.4, size=(args.batch_size, S, S, C)).astype(np.float32)
+            y = rng.integers(0, 4, size=(args.batch_size,)).astype(np.int32)
+            return {"x": x, "x_cond": np.zeros_like(x), "y": y}
+
+        batches = iter(next_batch, None)
+    else:
+        from humanliff_tpu.data.loader import BatchLoader
+        from humanliff_tpu.data.triplane_data import TriplaneDataset
+
+        ds = TriplaneDataset(args.data_dir)
+        loader = BatchLoader(len(ds), ds.item, args.batch_size, seed=args.seed)
+        batches = iter(loader)
+
+    key = jax.random.key(args.seed + 1)
+    step = int(state.step)
+    t0 = time.time()
+    while step < args.total_steps:
+        batch = shard_batch(next(batches), mesh)
+        key, sub = jax.random.split(key)
+        state, m = train_step(state, batch, sub, model, diffusion, cfg)
+        step += 1
+        log.logkv_mean("loss", float(m["loss"]))
+        log.logkv_mean("grad_norm", float(m["grad_norm"]))
+        for q in range(4):
+            log.logkv_mean(f"loss_q{q}", float(m[f"loss_q{q}"]))
+        if step % args.log_interval == 0:
+            log.logkv("steps_per_sec", args.log_interval / (time.time() - t0))
+            t0 = time.time()
+            log.dumpkvs(step)
+        if step % args.save_interval == 0 or step == 20000:
+            print("saved", ckpt.save_state(args.logdir, step, state))
+            if os.environ.get("DIFFUSION_TRAINING_TEST"):
+                print("DIFFUSION_TRAINING_TEST set: early exit after first save")
+                return
+    ckpt.save_state(args.logdir, step, state)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,85 @@
+"""Per-subject fine-tune CLI (reference: recon_NeRF/run_nerf_batch_ft.py).
+
+Loads the shared-decoder checkpoint, freezes the decoder, and fits a fresh
+tri-plane per (subject in [start_idx, end_idx)) x (4 layers), saving per-subject
+plane artifacts for the diffusion stage.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from humanliff_tpu.nerf.decoder import NeRFDecoder
+from humanliff_tpu.train import checkpoint as ckpt
+from humanliff_tpu.train.stage1 import Stage1Config
+from humanliff_tpu.train.stage1_ft import FinetuneConfig, finetune_subject
+from humanliff_tpu.nerf.renderer import RenderConfig
+from humanliff_tpu.utils import config as cfglib
+
+
+def main(argv=None):
+    if os.environ.get("HL_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    parser = cfglib.stage1_parser()
+    parser.add_argument("--ft_steps", type=int, default=2000)
+    parser.add_argument("--out_dir", type=str, default="./triplanes")
+    args = cfglib.parse_with_config(parser, argv)
+
+    expdir = os.path.join(args.basedir, args.expname)
+    from humanliff_tpu.cli.recon_train import build_dataset
+
+    cfg = Stage1Config(
+        num_instances=args.num_instance,
+        triplane_dim=args.triplane_dim,
+        triplane_ch=args.triplane_ch,
+        render=RenderConfig(
+            n_samples=args.n_samples, n_importance=args.n_importance,
+            perturb=args.perturb > 0, white_bkgd=args.white_bkgd,
+        ),
+        tv_loss_coef=args.tv_loss_coef if args.tv_loss else 0.0,
+        l1_loss_coef=args.l1_loss_coef,
+        use_clamp=args.use_clamp,
+        use_canonical_space=args.use_canonical_space,
+    )
+    decoder = NeRFDecoder(d_in=args.triplane_ch)
+
+    restored, step = ckpt.restore_state(expdir)
+    if restored is None:
+        raise FileNotFoundError(f"no shared checkpoint under {expdir}")
+    shared_params = ckpt.get_field(restored, "params")
+    print(f"loaded shared checkpoint at step {step}")
+
+    key = jax.random.key(args.seed)
+    for subj in range(args.start_idx, min(args.end_idx, args.num_instance)):
+        dataset, body_model = build_dataset(args)
+
+        def subject_batches(layer: int, k: jax.Array, subj=subj, ds=dataset):
+            # Assemble a batch of batch_size items for this (subject, layer).
+            rng = np.random.default_rng(int(jax.random.randint(k, (), 0, 2**31 - 1)))
+            per_layer = getattr(ds, "poses_num", 1) * getattr(ds, "views_num", 64)
+            items = []
+            for _ in range(args.batch_size):
+                view = int(rng.integers(0, per_layer))
+                idx = subj * 4 * per_layer + layer * per_layer + view
+                it = ds.item(idx, rng)
+                it["instance_idx"] = np.int32(0)  # single-instance table
+                items.append(it)
+            return {
+                kk: np.stack([it[kk] for it in items]) for kk in items[0]
+            }
+
+        key, sub = jax.random.split(key)
+        finetune_subject(
+            decoder, shared_params, subject_batches, cfg,
+            FinetuneConfig(steps_per_layer=args.ft_steps),
+            args.out_dir, f"subject{subj:04d}", sub, body_model,
+        )
+        print(f"finished subject {subj}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,122 @@
+"""Synthetic layered-human stand-in data for smoke tests and benchmarking.
+
+Generates multi-view renders of procedurally-layered "bodies" (nested soft
+ellipsoids — one more shell per clothing layer) with analytic ground truth, so the
+full stage-1 pipeline can run end-to-end without the SynBody/TightCap assets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+import numpy as np
+
+from humanliff_tpu.data.raygen import get_near_far_np, get_rays_np
+
+
+def _ellipsoid_density(pts: np.ndarray, center, radii, sharpness=40.0):
+    d = np.square((pts - center) / radii).sum(-1)
+    return 1.0 / (1.0 + np.exp(sharpness * (d - 1.0)))
+
+
+@dataclass
+class SyntheticLayeredDataset:
+    """Indexable item source emitting the stage-1 batch schema (world space)."""
+
+    num_instances: int = 2
+    num_layers: int = 4
+    n_rays: int = 512
+    image_size: int = 64
+    n_gt_samples: int = 96  # quadrature samples for analytic GT ray marching
+
+    def __post_init__(self):
+        rng = np.random.default_rng(1234)
+        # Per-instance base shape + per-layer shell colors.
+        self.centers = rng.uniform(-0.15, 0.15, size=(self.num_instances, 3))
+        self.base_radii = rng.uniform(0.25, 0.4, size=(self.num_instances, 3))
+        self.colors = rng.uniform(0.2, 1.0, size=(self.num_instances, self.num_layers, 3))
+        self.bounds = np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+
+    def __len__(self):
+        return self.num_instances * self.num_layers * 64  # 64 virtual views
+
+    def _density_color(self, inst: int, layer: int, pts: np.ndarray):
+        dens = np.zeros(pts.shape[0], np.float32)
+        color = np.zeros((pts.shape[0], 3), np.float32)
+        for l in range(layer + 1):
+            radii = self.base_radii[inst] * (1.0 + 0.18 * l)
+            d = _ellipsoid_density(pts, self.centers[inst], radii).astype(np.float32)
+            shell = np.clip(d - (dens > 0.5), 0, 1)
+            color = np.where(
+                (shell > 0.5)[:, None], self.colors[inst, l][None], color
+            )
+            dens = np.maximum(dens, d)
+        return dens * 30.0, color
+
+    def _camera(self, view: int):
+        theta = 2 * np.pi * (view % 16) / 16
+        phi = 0.3 * ((view // 16) % 4 - 1.5)
+        eye = 3.0 * np.asarray(
+            [np.cos(theta) * np.cos(phi), np.sin(phi), np.sin(theta) * np.cos(phi)]
+        )
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.asarray([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(right, fwd)
+        R = np.stack([right, -up2, fwd], axis=0)  # world->cam
+        T = (-R @ eye).reshape(3, 1)
+        f = self.image_size * 1.2
+        K = np.asarray(
+            [[f, 0, self.image_size / 2], [0, f, self.image_size / 2], [0, 0, 1]]
+        )
+        return K, R, T
+
+    def item(self, index: int, rng: np.random.Generator | None = None) -> Dict[str, np.ndarray]:
+        rng = rng or np.random.default_rng(index)
+        per_layer = 64
+        per_inst = self.num_layers * per_layer
+        inst = (index // per_inst) % self.num_instances
+        layer = (index % per_inst) // per_layer
+        view = index % per_layer
+
+        K, R, T = self._camera(view)
+        S = self.image_size
+        ray_o, ray_d = get_rays_np(S, S, K, R, T)
+        ray_o = ray_o.reshape(-1, 3)
+        ray_d = ray_d.reshape(-1, 3)
+        near, far, hit = get_near_far_np(self.bounds, ray_o, ray_d)
+        idx = np.where(hit)[0]
+        sel = idx[rng.integers(0, len(idx), self.n_rays)]
+        ro, rd = ray_o[sel], ray_d[sel]
+        nr, fr = near[sel], far[sel]
+
+        # Analytic GT via dense quadrature along each ray.
+        t = np.linspace(0, 1, self.n_gt_samples, dtype=np.float32)
+        z = nr[:, None] * (1 - t) + fr[:, None] * t
+        pts = ro[:, None] + rd[:, None] * z[..., None]
+        dens, color = self._density_color(inst, layer, pts.reshape(-1, 3))
+        dens = dens.reshape(self.n_rays, -1)
+        color = color.reshape(self.n_rays, -1, 3)
+        dists = np.diff(z, axis=-1, append=z[:, -1:] + 1e10)
+        alpha = 1 - np.exp(-dens * dists)
+        trans = np.cumprod(
+            np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
+        )[:, :-1]
+        w = alpha * trans
+        rgb = (color * w[..., None]).sum(1).astype(np.float32)
+        acc = w.sum(1).astype(np.float32)
+
+        return {
+            "instance_idx": np.int32(inst),
+            "layer_idx": np.int32(layer),
+            "rays_o": ro.astype(np.float32),
+            "rays_d": rd.astype(np.float32),
+            "near": nr.astype(np.float32),
+            "far": fr.astype(np.float32),
+            "rgb": rgb,
+            "bkgd_msk": (acc > 0.5).astype(np.float32),
+            "ray_mask": np.ones(self.n_rays, np.float32),
+            "box_warp": self.bounds,
+        }

@@ -1,0 +1,103 @@
+"""Stage-1 evaluation harness (reference: recon_NeRF/lib/all_test.py).
+
+Renders held-out views per (subject, layer), writes pred/gt PNGs, computes
+MSE/PSNR/SSIM(/LPIPS when available) over the mask_at_box crop (all_test.py:19-42,
+:186-195), prints per-image wall-clock, and aggregates to metrics.json / metrics.npy
+(:220-227). View selection matches :100-109: base views [145, 165] offset by
+5*layer, or the 145-185 range for a single --test_layer_id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from humanliff_tpu.eval.metrics import lpips_fn, mse, psnr, ssim
+from humanliff_tpu.nerf.renderer import render_image_chunked
+
+
+def default_test_views(layer: int, test_layer_id: Optional[int] = None) -> List[int]:
+    if test_layer_id is not None:
+        return list(range(145, 186))
+    return [145 + 5 * layer, 165 + 5 * layer]
+
+
+def to8b(x: np.ndarray) -> np.ndarray:
+    return (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+
+def evaluate_views(
+    decoder,
+    decoder_params,
+    planes,
+    view_items: List[Dict[str, np.ndarray]],
+    cfg,
+    savedir: Optional[str] = None,
+    chunk: int = 4096,
+    deform_fn=None,
+    tag: str = "subject",
+) -> Dict[str, float]:
+    """Render each full-image view item (from a dataset's split='test' path) and
+    score it. Returns aggregated metrics."""
+    if savedir:
+        os.makedirs(savedir, exist_ok=True)
+    lpips = lpips_fn()
+    rows = []
+    for vi, item in enumerate(view_items):
+        H, W = (int(item["hw"][0]), int(item["hw"][1]))
+        t0 = time.time()
+        out = render_image_chunked(
+            decoder, decoder_params, planes,
+            item["rays_o"], item["rays_d"], item["near"], item["far"],
+            item["box_warp"], cfg, chunk=chunk, deform_fn=deform_fn,
+        )
+        rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
+        dt = time.time() - t0
+        print(f"[eval {tag}] view {vi}: time per image {dt:.2f}s")
+
+        gt = np.asarray(item["rgb"]).reshape(H, W, 3)
+        mask = np.asarray(item["ray_mask"]).reshape(H, W).astype(bool)
+        # Crop to the bounding rows/cols of the box mask (all_test.py crop).
+        if mask.any():
+            ys, xs = np.where(mask)
+            sl = (slice(ys.min(), ys.max() + 1), slice(xs.min(), xs.max() + 1))
+        else:
+            sl = (slice(None), slice(None))
+        pred_c, gt_c = rgb[sl], gt[sl]
+
+        row = {
+            "mse": mse(pred_c, gt_c),
+            "psnr": psnr(pred_c, gt_c),
+            "ssim": ssim(pred_c, gt_c),
+            "time_s": dt,
+        }
+        if lpips is not None:
+            row["lpips"] = lpips(pred_c, gt_c)
+        rows.append(row)
+
+        if savedir:
+            try:
+                import imageio.v2 as imageio
+
+                imageio.imwrite(
+                    os.path.join(savedir, f"{tag}_view{vi:03d}_pred.png"), to8b(rgb)
+                )
+                imageio.imwrite(
+                    os.path.join(savedir, f"{tag}_view{vi:03d}_gt.png"), to8b(gt)
+                )
+            except Exception:
+                pass
+
+    agg = {
+        k: float(np.mean([r[k] for r in rows])) for k in rows[0] if k != "time_s"
+    }
+    agg["time_per_image_s"] = float(np.mean([r["time_s"] for r in rows]))
+    if savedir:
+        with open(os.path.join(savedir, "metrics.json"), "w") as f:
+            json.dump({"aggregate": agg, "per_view": rows}, f, indent=2)
+        np.save(os.path.join(savedir, "metrics.npy"), rows)
+    return agg

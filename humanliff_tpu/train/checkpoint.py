@@ -49,6 +49,14 @@ def restore_state(ckpt_dir: str, step: Optional[int] = None, target: Any = None)
     return restored, step
 
 
+def get_field(restored: Any, name: str):
+    """Field access that works for both dataclass states and raw-dict restores
+    (orbax returns a plain dict when no target pytree is given)."""
+    if isinstance(restored, dict):
+        return restored[name]
+    return getattr(restored, name)
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     base = _path(ckpt_dir)
     if not os.path.isdir(base):
