@@ -20,9 +20,12 @@ def get_named_beta_schedule(schedule_name: str, num_steps: int) -> np.ndarray:
     """'linear' (scaled to any T like the DDPM 1000-step reference) or 'cosine'."""
     if schedule_name == "linear":
         scale = 1000 / num_steps
-        return np.linspace(
+        betas = np.linspace(
             scale * 0.0001, scale * 0.02, num_steps, dtype=np.float64
         )
+        # Keep beta < 1 so schedule constants stay finite for tiny-T test configs;
+        # the canonical 1000-step schedule (max beta 0.02) is unaffected.
+        return np.minimum(betas, 0.999)
     if schedule_name == "cosine":
         return betas_for_alpha_bar(
             num_steps,
