@@ -75,17 +75,22 @@ def main() -> None:
         x, _ = jax.lax.scan(step, x, (ts, keys))
         return x
 
+    def force_sync(o):
+        # Tunneled backends can return from block_until_ready early; reading a
+        # value back is the only trustworthy sync.
+        return float(jnp.sum(o))
+
     key = jax.random.key(1)
     x = jax.random.normal(key, (B, 256, 256, 27))
     # Warmup/compile
     out = denoise_chunk(params, x, key)
-    out.block_until_ready()
+    force_sync(out)
 
     t_start = time.perf_counter()
     REPS = 4
     for i in range(REPS):
         out = denoise_chunk(params, out, jax.random.fold_in(key, i))
-    out.block_until_ready()
+    force_sync(out)
     dt = time.perf_counter() - t_start
 
     steps_per_sec = (STEPS * REPS) / dt

@@ -22,6 +22,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Multi-host runtime init (the reference's NCCL env-var setup_dist,
+    dist_util.py:52-62, becomes one call). No-op when single-process."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

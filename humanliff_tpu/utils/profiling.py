@@ -39,16 +39,29 @@ class Timer:
         }
 
 
+def force_sync(out):
+    """Synchronize by READBACK, not block_until_ready.
+
+    On tunneled/remote TPU backends (axon) ``block_until_ready`` can return before
+    the computation finishes, producing wildly optimistic timings (observed 100x).
+    Fetching one element of each output forces true completion.
+    """
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "ravel")]
+    if leaves:
+        jax.device_get([x.ravel()[0] for x in leaves])
+    return out
+
+
 def timed(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kwargs):
     """Steady-state seconds/call of a jitted fn (compiles on the warmup call)."""
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    force_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    force_sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
