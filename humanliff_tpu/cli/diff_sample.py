@@ -123,8 +123,9 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
 
 
 def main(argv=None):
-    if os.environ.get("HL_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = build_parser().parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 

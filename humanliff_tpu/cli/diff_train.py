@@ -53,8 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    if os.environ.get("HL_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = build_parser().parse_args(argv)
     os.makedirs(args.logdir, exist_ok=True)
     log = loglib.configure(args.logdir, ["stdout", "csv", "json"])

@@ -20,8 +20,9 @@ from humanliff_tpu.models.factory import (
 
 
 def main(argv=None):
-    if os.environ.get("HL_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     p = build_parser()
     p.add_argument("--data_npz", type=str, default=None,
                    help="npz of (N, H, W, C) images to evaluate; default random")

@@ -22,8 +22,9 @@ from humanliff_tpu.utils import config as cfglib
 
 
 def main(argv=None):
-    if os.environ.get("HL_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     parser = cfglib.stage1_parser()
     parser.add_argument("--ft_steps", type=int, default=2000)
     parser.add_argument("--out_dir", type=str, default="./triplanes")

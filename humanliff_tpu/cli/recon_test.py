@@ -20,8 +20,9 @@ from humanliff_tpu.utils import config as cfglib
 
 
 def main(argv=None):
-    if os.environ.get("HL_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     parser = cfglib.stage1_parser()
     parser.add_argument("--triplane_dir", type=str, default="./triplanes")
     parser.add_argument("--savedir", type=str, default=None)

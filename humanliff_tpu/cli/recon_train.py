@@ -85,10 +85,9 @@ def build_dataset(args):
 
 
 def main(argv=None):
-    # HL_PLATFORM=cpu overrides the pinned TPU plugin (useful for smoke tests;
-    # env JAX_PLATFORMS alone is re-pinned by sitecustomize in some images).
-    if os.environ.get("HL_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["HL_PLATFORM"])
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = cfglib.parse_with_config(cfglib.stage1_parser(), argv)
     cfglib.print_args(args)
 

@@ -49,6 +49,8 @@ def channel_mult_for(image_size: int) -> Tuple[int, ...]:
         return (1, 2, 3, 4)
     if image_size == 32:
         return (1, 2, 2, 2)
+    if image_size == 16:  # tiny smoke-test configs
+        return (1, 2)
     raise ValueError(f"unsupported image size: {image_size}")
 
 

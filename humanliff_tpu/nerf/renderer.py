@@ -32,7 +32,10 @@ from humanliff_tpu.ops.sampling import (
     stratified_z_vals,
     upsample_z_vals,
 )
-from humanliff_tpu.ops.triplane import sample_triplane_features
+from humanliff_tpu.ops.triplane import (
+    sample_triplane_features,
+    sample_triplane_features_xyz,
+)
 
 # A deform_fn canonicalizes observation-space points (and optionally view dirs) into
 # the tri-plane's canonical frame: (pts (M,3), dirs (M,3)|None) -> (pts, dirs|None).
@@ -133,27 +136,58 @@ def render_rays_batch(
     box_warp: jnp.ndarray,
     cfg: RenderConfig,
     key: Optional[jax.Array] = None,
-    deform_fns: Optional[Tuple[DeformFn, ...]] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Batched render: leading batch axis on planes/rays/near/far/box_warp.
+    """Natively-batched render (world-space): leading batch axis on everything.
 
-    ``deform_fns`` cannot be vmapped generically (they close over per-item SMPL
-    params); canonical-space training instead pre-canonicalizes inside its own
-    deform_fn via captured batched arrays — see train/stage1.py.
+    Deliberately NOT a vmap of ``render_rays``: vmapping batches the tri-plane
+    gather, which XLA lowers ~3x slower than the flattened-table path inside
+    ``sample_triplane_features`` (and the naive form ~100x slower). Canonical-space
+    rendering (per-item SMPL deforms) goes through the stage-1 trainer's vmap path
+    instead.
     """
-    if deform_fns is None:
-        B = planes.shape[0]
-        keys = None if key is None else jax.random.split(key, B)
-        fn = partial(render_rays, decoder)
+    B, R = rays_o.shape[:2]
+    if key is not None:
+        k_strat, k_fine, k_noise = jax.random.split(key, 3)
+    else:
+        k_strat = k_fine = k_noise = None
 
-        def one(p, ro, rd, nr, fr, bw, k):
-            return fn(decoder_params, p, ro, rd, nr, fr, bw, cfg, k)
+    z_vals = stratified_z_vals(
+        near, far, cfg.n_samples, key=k_strat if cfg.perturb else None
+    )
 
-        in_axes = (0, 0, 0, 0, 0, 0, None if keys is None else 0)
-        return jax.vmap(one, in_axes=in_axes)(
-            planes, rays_o, rays_d, near, far, box_warp, keys
+    def features_at(z):
+        # Component-wise points: (B, R*S) arrays tile cleanly; an (M, 3) array
+        # would be lane-padded 3 -> 128 by XLA (42.7x HBM expansion at scale).
+        comps = [
+            (rays_o[:, :, None, d] + rays_d[:, :, None, d] * z).reshape(B, -1)
+            for d in range(3)
+        ]
+        return sample_triplane_features_xyz(planes, *comps, box_warp)
+
+    if cfg.n_importance > 0:
+        feats = features_at(z_vals)
+        _, dens = decoder.apply(decoder_params, feats)
+        dens = jax.lax.stop_gradient(dens[..., 0].reshape(B, R, cfg.n_samples))
+        new_z = upsample_z_vals(
+            dens, jax.lax.stop_gradient(z_vals), rays_d, cfg.n_importance, key=k_fine
         )
-    raise NotImplementedError("per-item deform fns: use the stage-1 trainer path")
+        z_vals = merge_z_vals(z_vals, jax.lax.stop_gradient(new_z))
+
+    S = z_vals.shape[-1]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dirs = jnp.broadcast_to(viewdirs[:, :, None, :], (B, R, S, 3)).reshape(B, -1, 3)
+
+    feats = features_at(z_vals)
+    rgb_raw, dens_raw = decoder.apply(decoder_params, feats, dirs)
+    rgb = jax.nn.sigmoid(rgb_raw).reshape(B, R, S, 3)
+    dens = dens_raw[..., 0].reshape(B, R, S)
+
+    noise_key = k_noise if cfg.density_noise and key is not None else None
+    rgb_map, acc_map, depth_map = composite_rays(
+        rgb, dens, z_vals, noise_key=noise_key, white_bkgd=cfg.white_bkgd
+    )
+    depth_map = (depth_map - near) / (far - near + 1e-5)
+    return {"rgb": rgb_map, "acc": acc_map, "depth": depth_map}
 
 
 def render_image_chunked(

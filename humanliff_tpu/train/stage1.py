@@ -32,7 +32,7 @@ from flax import struct
 from humanliff_tpu.bodymodel.canonical import deform_to_canonical
 from humanliff_tpu.bodymodel.smpl import BodyModel
 from humanliff_tpu.nerf.decoder import NeRFDecoder
-from humanliff_tpu.nerf.renderer import RenderConfig, render_rays
+from humanliff_tpu.nerf.renderer import RenderConfig, render_rays, render_rays_batch
 from humanliff_tpu.train.optim import clamp_planes
 
 
@@ -150,20 +150,19 @@ def stage1_loss(
             t_poses,
         )
     else:
-
-        def render_one(p, ro, rd, nr, fr, bw, k):
-            return render_rays(
-                decoder, params["decoder"], p, ro, rd, nr, fr, bw, cfg.render, key=k
-            )
-
-        out = jax.vmap(render_one)(
+        # Natively batched (no vmap): see render_rays_batch / triplane.py notes on
+        # the batched-gather pathology.
+        out = render_rays_batch(
+            decoder,
+            params["decoder"],
             planes_b,
             batch["rays_o"],
             batch["rays_d"],
             batch["near"],
             batch["far"],
             batch["box_warp"],
-            keys,
+            cfg.render,
+            key=keys[0],
         )
 
     mask = batch.get("ray_mask", jnp.ones_like(batch["near"]))
