@@ -18,6 +18,72 @@ from humanliff_tpu.bodymodel.smpl import BodyModel, transform_params, _pose_offs
 from humanliff_tpu.bodymodel.rotations import batch_rodrigues
 
 
+def deform_to_canonical_batched(
+    model: BodyModel,
+    poses: jnp.ndarray,
+    betas: jnp.ndarray,
+    big_poses: jnp.ndarray,
+    smpl_verts: jnp.ndarray,
+    query_pts: jnp.ndarray,
+    query_dirs: Optional[jnp.ndarray] = None,
+    expression: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Natively-batched inverse-LBS canonicalization.
+
+    Same math as ``deform_to_canonical`` but with a leading batch axis on
+    everything (poses (B, J*3), betas (B, n), big_poses (B, J*3), smpl_verts
+    (B, V, 3), query_pts (B, M, 3)). All per-vertex gathers flatten the batch into
+    a single table lookup (vmapped gathers lower badly on TPU — see
+    ops/triplane.py).
+    """
+    B, M = query_pts.shape[:2]
+    V = smpl_verts.shape[1]
+
+    A, _ = transform_params(model, poses, betas, expression)  # (B, J, 4, 4)
+    J = A.shape[1]
+
+    # Batched 1-NN: distances via batched matmul (MXU), argmin per item.
+    v_sq = (smpl_verts * smpl_verts).sum(-1)  # (B, V)
+    d = v_sq[:, None, :] - 2.0 * jnp.einsum("bmd,bvd->bmv", query_pts, smpl_verts)
+    vert_ids = jnp.argmin(d, axis=-1).astype(jnp.int32)  # (B, M)
+
+    # Skinning weights: shared (V, J) table — single flat gather over B*M ids.
+    W = jnp.asarray(model.weights, jnp.float32)
+    bweights = jnp.take(W, vert_ids.reshape(-1), axis=0).reshape(B, M, J)
+
+    A_pt = jnp.einsum("bmj,bjk->bmk", bweights, A.reshape(B, J, 16)).reshape(B, M, 4, 4)
+    can = query_pts - A_pt[..., :3, 3]
+    R_inv = jnp.linalg.inv(A_pt[..., :3, :3])
+    can = (R_inv @ can[..., None])[..., 0]
+    if query_dirs is not None:
+        query_dirs = (R_inv @ query_dirs[..., None])[..., 0]
+
+    def gathered_offsets(offsets_bv3):  # (B, V, 3) -> (B, M, 3) via flat gather
+        flat = offsets_bv3.reshape(B * V, 3)
+        ids = vert_ids + (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
+        return jnp.take(flat, ids.reshape(-1), axis=0).reshape(B, M, 3)
+
+    rot_mats = batch_rodrigues(poses.reshape(B, -1, 3))
+    can = can - gathered_offsets(_pose_offsets(model, rot_mats))
+
+    shapedirs = jnp.asarray(model.shapedirs, jnp.float32)
+    shape_off = jnp.einsum("vdn,bn->bvd", shapedirs, betas)
+    can = can - gathered_offsets(shape_off)
+
+    big_rot = batch_rodrigues(big_poses.reshape(B, -1, 3))
+    can = can + gathered_offsets(_pose_offsets(model, big_rot))
+
+    A_big, _ = transform_params(model, big_poses, jnp.zeros_like(betas), expression)
+    A_pt = jnp.einsum("bmj,bjk->bmk", bweights, A_big.reshape(B, J, 16)).reshape(
+        B, M, 4, 4
+    )
+    can = (A_pt[..., :3, :3] @ can[..., None])[..., 0] + A_pt[..., :3, 3]
+    if query_dirs is not None:
+        query_dirs = (A_pt[..., :3, :3] @ query_dirs[..., None])[..., 0]
+        return can, query_dirs
+    return can, None
+
+
 def nearest_vertex(
     query: jnp.ndarray, verts: jnp.ndarray, tile: int = 8192
 ) -> jnp.ndarray:

@@ -56,14 +56,17 @@ def _shaped_template(
     model: BodyModel, betas: jnp.ndarray, expression: jnp.ndarray | None = None
 ) -> jnp.ndarray:
     """Apply shape (and expression) blendshapes: (B, V, 3)."""
-    shapedirs = jnp.asarray(model.shapedirs, jnp.float32)
+    # Slice blendshape banks to the caller's coefficient count (smplx ships 300
+    # shape dirs but models typically use num_betas=10).
+    shapedirs = jnp.asarray(model.shapedirs, jnp.float32)[..., : betas.shape[-1]]
     v = jnp.asarray(model.v_template, jnp.float32)[None] + jnp.einsum(
         "vdn,bn->bvd", shapedirs, betas
     )
     if expression is not None and model.expr_dirs is not None:
-        v = v + jnp.einsum(
-            "vdn,bn->bvd", jnp.asarray(model.expr_dirs, jnp.float32), expression
-        )
+        expr_dirs = jnp.asarray(model.expr_dirs, jnp.float32)[
+            ..., : expression.shape[-1]
+        ]
+        v = v + jnp.einsum("vdn,bn->bvd", expr_dirs, expression)
     return v
 
 
@@ -146,11 +149,19 @@ def lbs_forward(
 
 
 def load_body_model(path: str) -> BodyModel:
-    """Load a SMPL/SMPL-X pickle (latin1, like renderer.py:352-371) into arrays."""
-    with open(path, "rb") as f:
-        u = pickle._Unpickler(f)
-        u.encoding = "latin1"
-        data = u.load()
+    """Load a SMPL/SMPL-X model file into arrays.
+
+    Supports the SMPL pickle format (latin1, renderer.py:352-371) and the smplx
+    ``.npz`` distribution format (SMPLX_{GENDER}.npz, used by the vendored smplx
+    with ext='npz', SynBody_dataset.py:85-99).
+    """
+    if path.endswith(".npz"):
+        data = dict(np.load(path, allow_pickle=True))
+    else:
+        with open(path, "rb") as f:
+            u = pickle._Unpickler(f)
+            u.encoding = "latin1"
+            data = u.load()
 
     J_reg = data["J_regressor"]
     if hasattr(J_reg, "toarray"):

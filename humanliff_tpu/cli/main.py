@@ -11,6 +11,7 @@ COMMANDS = {
     "diff-train": "humanliff_tpu.cli.diff_train",
     "diff-sample": "humanliff_tpu.cli.diff_sample",
     "image-nll": "humanliff_tpu.cli.image_nll",
+    "image-sample": "humanliff_tpu.cli.image_sample",
     "sr-train": "humanliff_tpu.cli.sr_train",
     "sr-sample": "humanliff_tpu.cli.sr_sample",
 }

@@ -136,14 +136,16 @@ def render_rays_batch(
     box_warp: jnp.ndarray,
     cfg: RenderConfig,
     key: Optional[jax.Array] = None,
+    deform_fn: Optional[Callable] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Natively-batched render (world-space): leading batch axis on everything.
+    """Natively-batched render: leading batch axis on everything.
 
     Deliberately NOT a vmap of ``render_rays``: vmapping batches the tri-plane
     gather, which XLA lowers ~3x slower than the flattened-table path inside
-    ``sample_triplane_features`` (and the naive form ~100x slower). Canonical-space
-    rendering (per-item SMPL deforms) goes through the stage-1 trainer's vmap path
-    instead.
+    ``sample_triplane_features`` (and the naive form ~100x slower).
+
+    ``deform_fn`` (canonical-space mode) maps observation points into the planes'
+    canonical frame, batched: (pts (B, M, 3), dirs (B, M, 3)|None) -> (pts, dirs).
     """
     B, R = rays_o.shape[:2]
     if key is not None:
@@ -155,17 +157,22 @@ def render_rays_batch(
         near, far, cfg.n_samples, key=k_strat if cfg.perturb else None
     )
 
-    def features_at(z):
-        # Component-wise points: (B, R*S) arrays tile cleanly; an (M, 3) array
-        # would be lane-padded 3 -> 128 by XLA (42.7x HBM expansion at scale).
-        comps = [
-            (rays_o[:, :, None, d] + rays_d[:, :, None, d] * z).reshape(B, -1)
-            for d in range(3)
-        ]
-        return sample_triplane_features_xyz(planes, *comps, box_warp)
+    def features_at(z, dirs=None):
+        if deform_fn is not None:
+            pts = rays_o[:, :, None, :] + rays_d[:, :, None, :] * z[..., None]
+            pts, dirs = deform_fn(pts.reshape(B, -1, 3), dirs)
+            comps = [pts[..., d] for d in range(3)]
+        else:
+            # Component-wise points: (B, R*S) arrays tile cleanly; an (M, 3) array
+            # would be lane-padded 3 -> 128 by XLA (42.7x HBM expansion at scale).
+            comps = [
+                (rays_o[:, :, None, d] + rays_d[:, :, None, d] * z).reshape(B, -1)
+                for d in range(3)
+            ]
+        return sample_triplane_features_xyz(planes, *comps, box_warp), dirs
 
     if cfg.n_importance > 0:
-        feats = features_at(z_vals)
+        feats, _ = features_at(z_vals)
         _, dens = decoder.apply(decoder_params, feats)
         dens = jax.lax.stop_gradient(dens[..., 0].reshape(B, R, cfg.n_samples))
         new_z = upsample_z_vals(
@@ -177,7 +184,7 @@ def render_rays_batch(
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dirs = jnp.broadcast_to(viewdirs[:, :, None, :], (B, R, S, 3)).reshape(B, -1, 3)
 
-    feats = features_at(z_vals)
+    feats, dirs = features_at(z_vals, dirs)
     rgb_raw, dens_raw = decoder.apply(decoder_params, feats, dirs)
     rgb = jax.nn.sigmoid(rgb_raw).reshape(B, R, S, 3)
     dens = dens_raw[..., 0].reshape(B, R, S)

@@ -15,7 +15,8 @@ TPU design notes:
   ``ray_mask`` instead of being dropped (the reference resamples until full,
   if_nerf_data_utils.py:115-160 — same distribution, static shapes).
 - Canonical-space (TightCap) batches pre-supply posed SMPL vertices and params; the
-  deform closure is rebuilt per item inside vmap from batched arrays.
+  inverse-LBS deform runs natively batched (deform_to_canonical_batched) — its
+  per-vertex gathers flatten the batch into single table lookups.
 """
 
 from __future__ import annotations
@@ -29,7 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from humanliff_tpu.bodymodel.canonical import deform_to_canonical
+from humanliff_tpu.bodymodel.canonical import (
+    deform_to_canonical,
+    deform_to_canonical_batched,
+)
 from humanliff_tpu.bodymodel.smpl import BodyModel
 from humanliff_tpu.nerf.decoder import NeRFDecoder
 from humanliff_tpu.nerf.renderer import RenderConfig, render_rays, render_rays_batch
@@ -118,36 +122,22 @@ def stage1_loss(
     if cfg.use_canonical_space:
         assert body_model is not None
         t_poses = jnp.asarray(batch["t_poses"])  # (B, J*3) big pose per item
+        Rg, Th = batch["R"], batch["Th"]
 
-        def render_one(p, ro, rd, nr, fr, bw, k, poses, betas, verts, Rg, Th, tp):
-            def deform(pts, dirs):
-                # world -> SMPL space (renderer.py:129-134), then inverse LBS.
-                pts = (pts - Th[None]) @ Rg
-                if dirs is not None:
-                    dirs = (dirs - Th[None]) @ Rg
-                return deform_to_canonical(
-                    body_model, poses, betas, tp, verts, pts, dirs
-                )
-
-            return render_rays(
-                decoder, params["decoder"], p, ro, rd, nr, fr, bw, cfg.render,
-                key=k, deform_fn=deform,
+        def deform(pts, dirs):
+            # world -> SMPL space (renderer.py:129-134), then batched inverse LBS.
+            pts = jnp.einsum("bmd,bde->bme", pts - Th[:, None], Rg)
+            if dirs is not None:
+                dirs = jnp.einsum("bmd,bde->bme", dirs - Th[:, None], Rg)
+            return deform_to_canonical_batched(
+                body_model, batch["poses"], batch["betas"], t_poses,
+                batch["smpl_verts"], pts, dirs,
             )
 
-        out = jax.vmap(render_one)(
-            planes_b,
-            batch["rays_o"],
-            batch["rays_d"],
-            batch["near"],
-            batch["far"],
-            batch["box_warp"],
-            keys,
-            batch["poses"],
-            batch["betas"],
-            batch["smpl_verts"],
-            batch["R"],
-            batch["Th"],
-            t_poses,
+        out = render_rays_batch(
+            decoder, params["decoder"], planes_b,
+            batch["rays_o"], batch["rays_d"], batch["near"], batch["far"],
+            batch["box_warp"], cfg.render, key=keys[0], deform_fn=deform,
         )
     else:
         # Natively batched (no vmap): see render_rays_batch / triplane.py notes on
