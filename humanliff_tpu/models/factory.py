@@ -39,6 +39,7 @@ def model_and_diffusion_defaults() -> dict:
         use_scale_shift_norm=True,
         cond_type="controlnet",
         use_3d_aware=False,
+        use_checkpoint=False,
     )
 
 
@@ -70,6 +71,7 @@ def create_model(
     use_3d_aware: bool,
     dropout: float,
     channel_mult: Optional[Tuple[int, ...]] = None,
+    use_checkpoint: bool = False,
 ) -> UNetModel:
     if channel_mult is None:
         channel_mult = channel_mult_for(image_size)
@@ -94,6 +96,7 @@ def create_model(
         use_scale_shift_norm=use_scale_shift_norm,
         cond_type=cond_type,
         use_3d_aware=use_3d_aware,
+        use_checkpoint=use_checkpoint,
     )
 
 
@@ -115,6 +118,7 @@ def create_model_and_diffusion(**kwargs) -> Tuple[UNetModel, GaussianDiffusion]:
         cond_type=cfg["cond_type"],
         use_3d_aware=cfg["use_3d_aware"],
         dropout=cfg["dropout"],
+        use_checkpoint=cfg.get("use_checkpoint", False),
     )
     diffusion = create_diffusion(
         steps=cfg["diffusion_steps"],

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from humanliff_tpu.models.attention import SelfAttentionBlock, SpatialTransformer
@@ -158,6 +159,7 @@ class UNetModel(nn.Module):
     cond_type: str = "controlnet"
     use_3d_aware: bool = False
     transformer_depth: int = 1
+    use_checkpoint: bool = False  # rematerialize blocks (reference use_checkpoint)
 
     def _make_attn(self, ch: int, heads: int, name: str):
         if self.cond_type == "cross_attention":
@@ -171,10 +173,19 @@ class UNetModel(nn.Module):
             )
         return SelfAttentionBlock(num_heads=heads, name=name)
 
+    @property
+    def _block_cls(self):
+        # Rematerialized blocks trade recompute for activation memory
+        # (the reference's use_checkpoint, nn.py:124-170). deterministic (arg 4
+        # counting self) must be static.
+        if self.use_checkpoint:
+            return nn.remat(UNetBlock, static_argnums=(4,))
+        return UNetBlock
+
     def _build_encoder(self, prefix: str, with_attn_in_cond: bool):
         """Build encoder block list; returns (blocks, per-block channels)."""
         blocks = [
-            UNetBlock(
+            self._block_cls(
                 in_conv=nn.Conv(
                     self.model_channels, (3, 3), padding=1, name=f"{prefix}in_conv"
                 ),
@@ -202,7 +213,7 @@ class UNetModel(nn.Module):
                         )
                     )
                 blocks.append(
-                    UNetBlock(
+                    self._block_cls(
                         res=ResBlock(
                             out_ch,
                             self.dropout,
@@ -219,7 +230,7 @@ class UNetModel(nn.Module):
                 idx += 1
             if level != len(self.channel_mult) - 1:
                 blocks.append(
-                    UNetBlock(
+                    self._block_cls(
                         down=Downsample(self.conv_resample, name=f"{prefix}down_{idx}"),
                         name=f"{prefix}block_{idx}",
                     )
@@ -271,7 +282,7 @@ class UNetModel(nn.Module):
                     up = Upsample(self.conv_resample, name=f"dec_up_{idx}")
                     ds //= 2
                 out_blocks.append(
-                    UNetBlock(
+                    self._block_cls(
                         res=ResBlock(
                             out_ch,
                             self.dropout,

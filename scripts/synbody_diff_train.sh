@@ -10,4 +10,4 @@ python -m humanliff_tpu.cli.diff_train \
   --num_res_blocks 3 --attention_resolutions 32,16,8 --class_cond true \
   --diffusion_steps 1000 --lr 5e-5 --batch_size 8 --microbatch 2 \
   --ema_rate 0.9999 --use_amp true --save_interval 50000 \
-  --cond_type controlnet --total_steps "${2:-300000}" --logdir ./logs/diffusion
+  --cond_type controlnet --use_checkpoint true --total_steps "${2:-300000}" --logdir ./logs/diffusion
