@@ -27,9 +27,14 @@ def _path(base: str) -> str:
 
 
 def save_state(ckpt_dir: str, step: int, state: Any) -> str:
-    """Save a full train state (any pytree) under ckpt_dir/step."""
-    ckptr = ocp.StandardCheckpointer()
+    """Save a full train state (any pytree) under ckpt_dir/step.
+
+    Idempotent per step: a checkpoint that already exists for this step is kept
+    (a final save at an i_weights multiple would otherwise collide)."""
     path = os.path.join(_path(ckpt_dir), f"{step:06d}")
+    if os.path.exists(path):
+        return path
+    ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.tree.map(np.asarray, _strip_static(state)))
     ckptr.wait_until_finished()
     return path
