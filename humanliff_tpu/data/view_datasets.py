@@ -57,7 +57,8 @@ class NovelViewCameras:
         # Procedural orbit fallback.
         S = self.image_size
         theta = 2 * np.pi * i / max(len(self.views), 1)
-        eye = 3.0 * np.asarray([np.cos(theta), 0.15, np.sin(theta)])
+        eye = np.asarray([np.cos(theta), 0.15, np.sin(theta)])
+        eye = 3.0 * eye / np.linalg.norm(eye)
         fwd = -eye / np.linalg.norm(eye)
         up = np.asarray([0.0, 1.0, 0.0])
         right = np.cross(fwd, up)

@@ -1,0 +1,75 @@
+"""Eval harness + KV logger + novel-view camera tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+
+from humanliff_tpu.data.view_datasets import NovelViewCameras
+from humanliff_tpu.eval.harness import default_test_views, evaluate_views
+from humanliff_tpu.nerf.decoder import NeRFDecoder
+from humanliff_tpu.nerf.renderer import RenderConfig
+from humanliff_tpu.utils.logger import KVLogger
+
+
+def test_default_test_views_match_reference_rule():
+    assert default_test_views(0) == [145, 165]
+    assert default_test_views(2) == [155, 175]
+    assert default_test_views(1, test_layer_id=1) == list(range(145, 186))
+
+
+def test_evaluate_views_writes_metrics(tmp_path):
+    import jax.numpy as jnp
+
+    decoder = NeRFDecoder()
+    params = decoder.init(jax.random.key(0), jnp.zeros((1, 27)), jnp.zeros((1, 3)))
+    planes = 0.1 * jax.random.normal(jax.random.key(1), (3, 9, 16, 16))
+    bounds = np.asarray([[-1.0] * 3, [1.0] * 3], np.float32)
+
+    cams = NovelViewCameras(image_size=16, views=[0, 1])
+    items = []
+    for i in range(2):
+        item = cams.rays(i, bounds)
+        item["rgb"] = np.zeros((16 * 16, 3), np.float32)
+        item["box_warp"] = bounds
+        items.append(item)
+
+    cfg = RenderConfig(n_samples=8, n_importance=8, perturb=False, density_noise=False)
+    agg = evaluate_views(
+        decoder, params, planes, items, cfg, savedir=str(tmp_path), chunk=64,
+        tag="t",
+    )
+    assert {"mse", "psnr", "ssim", "time_per_image_s"} <= set(agg)
+    assert os.path.exists(tmp_path / "metrics.json")
+    with open(tmp_path / "metrics.json") as f:
+        data = json.load(f)
+    assert len(data["per_view"]) == 2
+    assert os.path.exists(tmp_path / "t_view000_pred.png")
+
+
+def test_kv_logger_sinks(tmp_path):
+    log = KVLogger(str(tmp_path), ["csv", "json"])
+    log.logkv("a", 1.0)
+    log.logkv_mean("b", 2.0)
+    log.logkv_mean("b", 4.0)
+    out = log.dumpkvs(step=10)
+    assert out == {"a": 1.0, "b": 3.0}
+    log.logkv("c", 5.0)  # new key appears later -> csv must re-header
+    log.dumpkvs(step=20)
+
+    with open(tmp_path / "progress.json") as f:
+        lines = [json.loads(l) for l in f]
+    assert lines[0] == {"step": 10, "a": 1.0, "b": 3.0}
+    csv_text = open(tmp_path / "progress.csv").read()
+    assert "c" in csv_text.splitlines()[0]
+
+
+def test_camera_orbit_fallback():
+    cams = NovelViewCameras(image_size=32, views=list(range(8)))
+    for i in range(8):
+        K, R, T = cams.camera(i)
+        # R orthonormal, camera 3 units from origin.
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+        center = -R.T @ T.ravel()
+        np.testing.assert_allclose(np.linalg.norm(center), 3.0, atol=1e-5)
