@@ -18,6 +18,28 @@ from humanliff_tpu.bodymodel.smpl import BodyModel, transform_params, _pose_offs
 from humanliff_tpu.bodymodel.rotations import batch_rodrigues
 
 
+def _inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse for (..., 3, 3) — far cheaper on the VPU than
+    the LU path of jnp.linalg.inv at per-sample-point scale."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], -1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], -1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], -1),
+        ],
+        -2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def deform_to_canonical_batched(
     model: BodyModel,
     poses: jnp.ndarray,
@@ -42,9 +64,14 @@ def deform_to_canonical_batched(
     A, _ = transform_params(model, poses, betas, expression)  # (B, J, 4, 4)
     J = A.shape[1]
 
-    # Batched 1-NN: distances via batched matmul (MXU), argmin per item.
-    v_sq = (smpl_verts * smpl_verts).sum(-1)  # (B, V)
-    d = v_sq[:, None, :] - 2.0 * jnp.einsum("bmd,bvd->bmv", query_pts, smpl_verts)
+    # Batched 1-NN: distances via batched matmul (MXU, bf16 inputs — neighbor
+    # selection is robust to half precision), argmin per item.
+    q16 = query_pts.astype(jnp.bfloat16)
+    v16 = smpl_verts.astype(jnp.bfloat16)
+    v_sq = (smpl_verts * smpl_verts).sum(-1)  # (B, V) fp32
+    d = v_sq[:, None, :] - 2.0 * jnp.einsum(
+        "bmd,bvd->bmv", q16, v16, preferred_element_type=jnp.float32
+    )
     vert_ids = jnp.argmin(d, axis=-1).astype(jnp.int32)  # (B, M)
 
     # Skinning weights: shared (V, J) table — single flat gather over B*M ids.
@@ -53,7 +80,7 @@ def deform_to_canonical_batched(
 
     A_pt = jnp.einsum("bmj,bjk->bmk", bweights, A.reshape(B, J, 16)).reshape(B, M, 4, 4)
     can = query_pts - A_pt[..., :3, 3]
-    R_inv = jnp.linalg.inv(A_pt[..., :3, :3])
+    R_inv = _inv3x3(A_pt[..., :3, :3])
     can = (R_inv @ can[..., None])[..., 0]
     if query_dirs is not None:
         query_dirs = (R_inv @ query_dirs[..., None])[..., 0]
