@@ -13,8 +13,7 @@ import numpy as np
 def big_pose_params(pose_dim: int = 72, dtype=np.float32) -> np.ndarray:
     """Return the canonical big-pose axis-angle vector of length ``pose_dim``."""
     pose = np.zeros(pose_dim, dtype=dtype)
-    pose[5] = np.deg2rad(45.0)
-    pose[8] = np.deg2rad(-45.0)
-    pose[23] = np.deg2rad(-30.0)
-    pose[26] = np.deg2rad(30.0)
+    for idx, deg in ((5, 45.0), (8, -45.0), (23, -30.0), (26, 30.0)):
+        if idx < pose_dim:  # toy models with few joints skip arm entries
+            pose[idx] = np.deg2rad(deg)
     return pose

@@ -35,10 +35,9 @@ def smplx_big_pose(num_joints: int = 55) -> np.ndarray:
     """Big pose as a full-pose vector: body_pose[2,5,20,23] set (SynBody_dataset.py:221-224),
     i.e. full-pose indices shifted by the 3 global-orient dims."""
     pose = np.zeros(num_joints * 3, np.float32)
-    pose[3 + 2] = np.deg2rad(45.0)
-    pose[3 + 5] = np.deg2rad(-45.0)
-    pose[3 + 20] = np.deg2rad(-30.0)
-    pose[3 + 23] = np.deg2rad(30.0)
+    for idx, deg in ((3 + 2, 45.0), (3 + 5, -45.0), (3 + 20, -30.0), (3 + 23, 30.0)):
+        if idx < pose.shape[0]:  # toy models with few joints skip arm entries
+            pose[idx] = np.deg2rad(deg)
     return pose
 
 

@@ -133,7 +133,7 @@ class TightCapDataset:
             )
             self._smpl_cache[root] = dict(np.load(path, allow_pickle=True))["smpl"].item()
         p = self._smpl_cache[root]
-        poses = np.zeros(72, np.float32)
+        poses = np.zeros(self.body_model.num_joints * 3, np.float32)
         poses[:3] = np.asarray(p["global_orient"][pose_index], np.float32).reshape(-1)
         poses[3:] = np.asarray(p["body_pose"][pose_index], np.float32).reshape(-1)
         betas = np.asarray(p["betas"], np.float32).reshape(-1)
