@@ -57,9 +57,13 @@ def main() -> None:
     @jax.jit
     def denoise_chunk(params, x, key):
         x_cond = jnp.zeros_like(x)
+        # Cast params too: fp32 params would promote convs back to fp32 compute.
+        p16 = jax.tree.map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
+        )
 
         def model_fn(xx, ts, xc, y=y):
-            out = model.apply(params, xx.astype(dtype), ts, xc.astype(dtype), y)
+            out = model.apply(p16, xx.astype(dtype), ts, xc.astype(dtype), y)
             return out.astype(jnp.float32)
 
         def step(x, inp):

@@ -101,6 +101,18 @@ def train_step(
     compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
 
     def model_fn_for(params):
+        # bf16 policy: cast BOTH activations and params — fp32 params would promote
+        # every conv/matmul back to fp32 compute. Norms/softmax stay fp32 inside
+        # (GroupNorm32), matching the reference's fp16-torso recipe. Master params
+        # and the optimizer remain fp32; gradients arrive fp32 via the cast's vjp.
+        if cfg.use_bf16:
+            params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32
+                else p,
+                params,
+            )
+
         def model_fn(x, ts, x_cond, y=None):
             out = model.apply(
                 params,
