@@ -115,6 +115,7 @@ def main(argv=None):
         l1_loss_coef=args.l1_loss_coef,
         use_clamp=args.use_clamp,
         use_canonical_space=args.use_canonical_space,
+        use_bf16=args.use_bf16,
     )
 
     decoder = NeRFDecoder(d_in=args.triplane_ch)

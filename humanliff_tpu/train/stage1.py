@@ -52,6 +52,7 @@ class Stage1Config:
     acc_loss_coef: float = 0.1
     use_clamp: bool = True
     use_canonical_space: bool = False  # TightCap mode
+    use_bf16: bool = False  # bf16 render compute (fp32 master planes/decoder)
 
 
 class TrainState(struct.PyTreeNode):
@@ -119,6 +120,15 @@ def stage1_loss(
     B = planes_b.shape[0]
     keys = jax.random.split(key, B)
 
+    decoder_params = params["decoder"]
+    if cfg.use_bf16:
+        # Compute-cast (masters stay fp32): halves gather bytes + MXU time. The
+        # reference trains Stage 1 in fp32 (run_nerf_batch.py:206), so this is
+        # opt-in; validate PSNR parity before enabling for quality runs.
+        cast = lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p
+        planes_b = cast(planes_b)
+        decoder_params = jax.tree.map(cast, decoder_params)
+
     if cfg.use_canonical_space:
         assert body_model is not None
         t_poses = jnp.asarray(batch["t_poses"])  # (B, J*3) big pose per item
@@ -135,7 +145,7 @@ def stage1_loss(
             )
 
         out = render_rays_batch(
-            decoder, params["decoder"], planes_b,
+            decoder, decoder_params, planes_b,
             batch["rays_o"], batch["rays_d"], batch["near"], batch["far"],
             batch["box_warp"], cfg.render, key=keys[0], deform_fn=deform,
         )
@@ -144,7 +154,7 @@ def stage1_loss(
         # the batched-gather pathology.
         out = render_rays_batch(
             decoder,
-            params["decoder"],
+            decoder_params,
             planes_b,
             batch["rays_o"],
             batch["rays_d"],
@@ -156,14 +166,16 @@ def stage1_loss(
         )
 
     mask = batch.get("ray_mask", jnp.ones_like(batch["near"]))
+    out = jax.tree.map(lambda v: v.astype(jnp.float32), out)
     img_loss = _masked_mse(out["rgb"], batch["rgb"], mask)
     acc_loss = _masked_mse(out["acc"], batch["bkgd_msk"], mask)
 
-    # TV + L1 on the active plane slices (run_nerf_batch.py:255-259).
-    tv = jnp.abs(planes_b[..., 1:, :] - planes_b[..., :-1, :]).mean() + jnp.abs(
-        planes_b[..., :, 1:] - planes_b[..., :, :-1]
+    # TV + L1 on the active plane slices (run_nerf_batch.py:255-259), fp32 masters.
+    planes_f32 = params["planes"][batch["instance_idx"], batch["layer_idx"]]
+    tv = jnp.abs(planes_f32[..., 1:, :] - planes_f32[..., :-1, :]).mean() + jnp.abs(
+        planes_f32[..., :, 1:] - planes_f32[..., :, :-1]
     ).mean()
-    l1 = jnp.abs(planes_b).mean()
+    l1 = jnp.abs(planes_f32).mean()
 
     loss = (
         img_loss
