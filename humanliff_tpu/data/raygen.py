@@ -139,6 +139,18 @@ def sample_ray_batch_train(
     return res
 
 
+def unproject_depth(depth: np.ndarray, K, R, T) -> np.ndarray:
+    """Back-project a depth map into world-space points (if_nerf_data_utils.py:204-213)."""
+    H, W = depth.shape
+    i, j = np.meshgrid(
+        np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32), indexing="xy"
+    )
+    xy1 = np.stack([i, j, np.ones_like(i)], axis=2)
+    xyz = xy1 * depth[..., None]
+    pts = xyz @ np.linalg.inv(K).T
+    return (pts - np.asarray(T).ravel()) @ R
+
+
 def full_image_rays(
     H: int, W: int, K, R, T, bounds
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
