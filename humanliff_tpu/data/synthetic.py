@@ -88,25 +88,44 @@ class SyntheticLayeredDataset:
         ray_d = ray_d.reshape(-1, 3)
         near, far, hit = get_near_far_np(self.bounds, ray_o, ray_d)
         idx = np.where(hit)[0]
-        sel = idx[rng.integers(0, len(idx), self.n_rays)]
-        ro, rd = ray_o[sel], ray_d[sel]
-        nr, fr = near[sel], far[sel]
+        # Oversample candidates, then body-weight the selection at ratio 0.8 like
+        # the real loaders (if_nerf_data_utils.py:115-160) — uniform box sampling
+        # is ~90% empty rays here and invites the black-fog density collapse.
+        cand = idx[rng.integers(0, len(idx), 4 * self.n_rays)]
+        ro, rd = ray_o[cand], ray_d[cand]
+        nr, fr = near[cand], far[cand]
 
         # Analytic GT via dense quadrature along each ray.
         t = np.linspace(0, 1, self.n_gt_samples, dtype=np.float32)
         z = nr[:, None] * (1 - t) + fr[:, None] * t
         pts = ro[:, None] + rd[:, None] * z[..., None]
         dens, color = self._density_color(inst, layer, pts.reshape(-1, 3))
-        dens = dens.reshape(self.n_rays, -1)
-        color = color.reshape(self.n_rays, -1, 3)
+        dens = dens.reshape(len(cand), -1)
+        color = color.reshape(len(cand), -1, 3)
         dists = np.diff(z, axis=-1, append=z[:, -1:] + 1e10)
         alpha = 1 - np.exp(-dens * dists)
         trans = np.cumprod(
             np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
         )[:, :-1]
         w = alpha * trans
-        rgb = (color * w[..., None]).sum(1).astype(np.float32)
-        acc = w.sum(1).astype(np.float32)
+        rgb_all = (color * w[..., None]).sum(1).astype(np.float32)
+        acc_all = w.sum(1).astype(np.float32)
+
+        body = np.where(acc_all > 0.5)[0]
+        bg = np.where(acc_all <= 0.5)[0]
+        if len(body) == 0:
+            body = bg
+        if len(bg) == 0:
+            bg = body
+        n_body = int(self.n_rays * 0.8)
+        sel = np.concatenate(
+            [
+                body[rng.integers(0, len(body), n_body)],
+                bg[rng.integers(0, len(bg), self.n_rays - n_body)],
+            ]
+        )
+        ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
+        rgb, acc = rgb_all[sel], acc_all[sel]
 
         return {
             "instance_idx": np.int32(inst),
