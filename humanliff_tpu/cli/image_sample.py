@@ -18,6 +18,7 @@ from humanliff_tpu.models.factory import (
     create_model_and_diffusion,
     model_and_diffusion_defaults,
 )
+from humanliff_tpu.sampling.layered import _sample_layer_jit
 from humanliff_tpu.train import checkpoint as ckpt
 
 
@@ -41,14 +42,17 @@ def main(argv=None):
     while done < args.num_samples:
         key, k_y, k_s = jax.random.split(key, 3)
         B = args.batch_size
-        y = jax.random.randint(k_y, (B,), 0, 4) if args.class_cond else None
+        y = (
+            jax.random.randint(k_y, (B,), 0, 4)
+            if args.class_cond
+            else jnp.zeros((B,), jnp.int32)
+        )
         x_cond = jnp.zeros((B, S, S, C))
-
-        def model_fn(x, ts, xc, y=y):
-            return model.apply(params, x, ts, xc, y)
-
-        loop = diffusion.ddim_sample_loop if args.use_ddim else diffusion.p_sample_loop
-        sample = loop(model_fn, (B, S, S, C), k_s, x_cond=x_cond)
+        # Jitted with y/x_cond as traced args: one compilation for all batches.
+        sample = _sample_layer_jit(
+            model, diffusion, params, x_cond, y, k_s, (B, S, S, C),
+            args.use_ddim, True,
+        )
         outs.append(np.asarray(sample))
         if y is not None:
             labels.append(np.asarray(y))

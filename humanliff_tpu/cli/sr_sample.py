@@ -51,19 +51,23 @@ def main(argv=None):
             scale=0.4, size=(args.num_samples, s, s, C)
         ).astype(np.float32)
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("B",))
+    def sr_sample_jit(params, lo, key, B):
+        def model_fn(x, ts, xc, lo=lo):
+            return model.apply(params, x, ts, lo)
+
+        return diffusion.p_sample_loop(model_fn, (B, S, S, C), key)
+
     outs = []
     key = jax.random.key(args.seed)
     for i in range(0, len(low), args.batch_size):
         lo = jnp.asarray(low[i : i + args.batch_size])
-        B = lo.shape[0]
         key, sub = jax.random.split(key)
-
-        def model_fn(x, ts, xc, lo=lo):
-            return model.apply(params, x, ts, lo)
-
-        sample = diffusion.p_sample_loop(model_fn, (B, S, S, C), sub)
+        sample = sr_sample_jit(params, lo, sub, lo.shape[0])
         outs.append(np.asarray(sample))
-        print(f"upsampled {i + B}/{len(low)}")
+        print(f"upsampled {i + lo.shape[0]}/{len(low)}")
     arr = np.concatenate(outs)
     path = os.path.join(args.out_dir, f"sr_samples_{S}.npz")
     ckpt.save_samples_npz(path, arr)
