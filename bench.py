@@ -1,13 +1,16 @@
-"""Benchmark: flagship tri-plane denoise rate on the local accelerator.
+"""Benchmark: full 4-layer tri-plane generation wall-clock on the local accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The headline metric is denoise steps/sec/chip on the flagship Stage-2 config
-(256x256x27 ControlNet UNet, batch 1) — the quantity that bounds the 4-layer
-generation wall-clock (250 respaced steps x 4 layers; BASELINE.md's <30s target on
-v5e-8 needs ~33 steps/s aggregate). The reference publishes no numbers
-(BASELINE.json: published={}), so vs_baseline is reported against the v5e-8 target
-rate prorated to one chip (33.3/8 ≈ 4.17 steps/s/chip).
+This is BASELINE.md's headline target: "full 4-layer tri-plane generation ... in
+<30 s on a v5e-8". We measure the flagship configuration (256x256x27 ControlNet
+UNet, 250 respaced DDPM steps per layer, bf16, batch 1) on however many chips are
+local — currently ONE — and report vs_baseline = 30s / measured, so >1.0 beats the
+target (on 1/8th of the target hardware when single-chip).
+
+Timing notes: sync is by value readback (block_until_ready is unreliable on
+tunneled TPU backends); the persistent XLA cache makes repeat runs skip the
+~2 min compile.
 """
 
 from __future__ import annotations
@@ -22,6 +25,11 @@ import jax.numpy as jnp
 def main() -> None:
     from humanliff_tpu.diffusion.respace import create_diffusion
     from humanliff_tpu.models.factory import create_model
+    from humanliff_tpu.sampling.layered import generate_all_layers
+    from humanliff_tpu.utils.profiling import force_sync
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
 
     model = create_model(
         image_size=256,
@@ -42,70 +50,53 @@ def main() -> None:
     diffusion = create_diffusion(steps=1000, timestep_respacing="250")
     object.__setattr__(diffusion, "channel_axis", -1)
 
-    B = 1
-    dtype = jnp.bfloat16
-    x = jnp.zeros((B, 256, 256, 27), jnp.float32)
-    t0 = jnp.zeros((B,), jnp.float32)
-    y = jnp.zeros((B,), jnp.int32)
-    params = jax.jit(model.init)(jax.random.key(0), x, t0, x, y)
+    x0 = jnp.zeros((1, 256, 256, 27))
+    # Params must be explicit jit args (closures embed them as HLO constants).
+    params = jax.jit(model.init)(
+        jax.random.key(0), x0, jnp.zeros((1,)), x0, jnp.zeros((1,), jnp.int32)
+    )
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
 
+    class Bf16Model:
+        """bf16 compute adapter; hashable by id for jit static args."""
 
-    STEPS = 25  # scan chunk large enough to amortize dispatch
-
-    # NOTE: params must be an explicit argument — closing over them would embed
-    # the whole tree as HLO constants and stall the (remote) compiler.
-    @jax.jit
-    def denoise_chunk(params, x, key):
-        x_cond = jnp.zeros_like(x)
-        # Cast params too: fp32 params would promote convs back to fp32 compute.
-        p16 = jax.tree.map(
-            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, params
-        )
-
-        def model_fn(xx, ts, xc, y=y):
-            out = model.apply(p16, xx.astype(dtype), ts, xc.astype(dtype), y)
+        def apply(self, p, x, t, xc, y, **kw):
+            out = model.apply(
+                p, x.astype(jnp.bfloat16), t,
+                None if xc is None else xc.astype(jnp.bfloat16), y, **kw,
+            )
             return out.astype(jnp.float32)
 
-        def step(x, inp):
-            t_scalar, k = inp
-            t = jnp.full((B,), t_scalar, jnp.int32)
-            x, _ = diffusion.p_sample(
-                model_fn, x, x_cond, t, k, True, {"y": y}
-            )
-            return x, None
+        def __hash__(self):
+            return id(self)
 
-        ts = jnp.arange(diffusion.num_timesteps - 1, diffusion.num_timesteps - 1 - STEPS, -1)
-        keys = jax.random.split(key, STEPS)
-        x, _ = jax.lax.scan(step, x, (ts, keys))
-        return x
+        def __eq__(self, other):
+            return self is other
 
-    def force_sync(o):
-        # Tunneled backends can return from block_until_ready early; reading a
-        # value back is the only trustworthy sync.
-        return float(jnp.sum(o))
+    wrap = Bf16Model()
 
-    key = jax.random.key(1)
-    x = jax.random.normal(key, (B, 256, 256, 27))
-    # Warmup/compile
-    out = denoise_chunk(params, x, key)
-    force_sync(out)
+    def run(key):
+        out = generate_all_layers(
+            wrap, params, diffusion, key, batch_size=1, image_size=256, channels=27
+        )
+        force_sync(out)
+        return out
 
-    t_start = time.perf_counter()
-    REPS = 4
-    for i in range(REPS):
-        out = denoise_chunk(params, out, jax.random.fold_in(key, i))
-    force_sync(out)
-    dt = time.perf_counter() - t_start
+    run(jax.random.key(1))  # warmup / compile (persistent-cached across runs)
+    t0 = time.perf_counter()
+    run(jax.random.key(2))
+    dt = time.perf_counter() - t0
 
-    steps_per_sec = (STEPS * REPS) / dt
-    target_per_chip = 33.3 / 8.0  # <30s 4-layer target prorated to one chip
+    target_s = 30.0  # BASELINE.md: <30 s on a v5e-8 (we run on len(jax.devices()))
     print(
         json.dumps(
             {
-                "metric": "triplane_denoise_steps_per_sec_chip",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / target_per_chip, 3),
+                "metric": "fourlayer_generation_wallclock",
+                "value": round(dt, 2),
+                "unit": f"s_on_{len(jax.devices())}_chip",
+                "vs_baseline": round(target_s / dt, 3),
             }
         )
     )
