@@ -170,15 +170,27 @@ def main(argv=None):
                 _decode_samples(args, arr, k_name)
         return
 
-    x_cond = None
+    prev = None
     if args.sample_npz:
-        prev = ckpt.load_samples_npz(args.sample_npz)
-        x_cond = prev[: args.batch_size].astype(np.float32)
+        prev = ckpt.load_samples_npz(args.sample_npz).astype(np.float32)
+        if prev.shape[0] < args.num_samples:
+            raise ValueError(
+                f"--sample_npz has {prev.shape[0]} previous-layer samples but "
+                f"--num_samples={args.num_samples}; the layered chain needs a "
+                "1:1 correspondence (triplane_sample_layered.py:131-132)"
+            )
     outs = []
     done = 0
     while done < args.num_samples:
         key, sub = jax.random.split(key)
-        xc = None if x_cond is None else x_cond
+        # Each batch conditions on its OWN slice of the previous layer's
+        # samples, keeping the per-index chain correspondence across runs.
+        xc = None
+        if prev is not None:
+            xc = prev[done : done + args.batch_size]
+            if xc.shape[0] < args.batch_size:  # ragged tail: pad (trimmed below)
+                pad = args.batch_size - xc.shape[0]
+                xc = np.concatenate([xc, np.repeat(xc[-1:], pad, axis=0)])
         samples = generate_layer(
             model, params, diffusion, args.layer_idx, xc, sub,
             args.batch_size, S, C, use_ddim=args.use_ddim,

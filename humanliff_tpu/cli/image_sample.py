@@ -54,7 +54,9 @@ def main(argv=None):
             args.use_ddim, True,
         )
         outs.append(np.asarray(sample))
-        if y is not None:
+        # Labels go in the npz only for class-conditional sampling (the jit
+        # refactor made y always an array, so this must gate on the flag).
+        if args.class_cond:
             labels.append(np.asarray(y))
         done += B
         print(f"created {done}/{args.num_samples} samples")

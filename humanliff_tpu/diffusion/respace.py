@@ -22,37 +22,47 @@ from humanliff_tpu.diffusion.gaussian import (
 
 
 def space_timesteps(num_timesteps: int, section_counts: Union[str, Collection[int]]):
-    """Which original timesteps to retain (respace.py:7-60)."""
+    """Which of the ``num_timesteps`` original steps to retain.
+
+    Accepts the reference's spec syntax (respace.py:7-60): ``"ddimN"`` keeps a
+    fixed-stride subset of exactly N steps; ``"a,b,c"`` (or a list of ints)
+    splits the schedule into near-equal sections — earlier sections absorb the
+    remainder — and keeps that many evenly spaced steps within each.
+    """
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
-            desired_count = int(section_counts[len("ddim") :])
-            for i in range(1, num_timesteps):
-                if len(range(0, num_timesteps, i)) == desired_count:
-                    return set(range(0, num_timesteps, i))
+            want = int(section_counts[len("ddim") :])
+            for stride in range(1, num_timesteps):
+                kept = range(0, num_timesteps, stride)
+                if len(kept) == want:
+                    return set(kept)
             raise ValueError(
-                f"cannot create exactly {num_timesteps} steps with an integer stride"
+                f"no integer stride over {num_timesteps} timesteps keeps "
+                f"exactly {want} DDIM steps"
             )
         section_counts = [int(x) for x in section_counts.split(",")]
-    size_per = num_timesteps // len(section_counts)
-    extra = num_timesteps % len(section_counts)
-    start_idx = 0
-    all_steps = []
-    for i, section_count in enumerate(section_counts):
-        size = size_per + (1 if i < extra else 0)
-        if size < section_count:
-            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
-        if section_count <= 1:
-            frac_stride = 1
-        else:
-            frac_stride = (size - 1) / (section_count - 1)
-        cur_idx = 0.0
-        taken_steps = []
-        for _ in range(section_count):
-            taken_steps.append(start_idx + round(cur_idx))
-            cur_idx += frac_stride
-        all_steps += taken_steps
-        start_idx += size
-    return set(all_steps)
+
+    n_sections = len(section_counts)
+    base, extra = divmod(num_timesteps, n_sections)
+    kept_steps: set = set()
+    start = 0
+    for i, count in enumerate(section_counts):
+        size = base + (1 if i < extra else 0)
+        if count > size:
+            raise ValueError(
+                f"section {i} spans only {size} timesteps; cannot keep {count}"
+            )
+        stride = 1.0 if count <= 1 else (size - 1) / (count - 1)
+        # Accumulate (pos += stride) rather than multiply (j * stride): the two
+        # differ at exact-.5 rounding boundaries and the reference accumulates —
+        # this is load-bearing for retained-step parity (e.g. T=250, "25,25,25,25").
+        offsets, pos = [], 0.0
+        for _ in range(count):
+            offsets.append(round(pos))
+            pos += stride
+        kept_steps.update(start + o for o in offsets)
+        start += size
+    return kept_steps
 
 
 def spaced_diffusion(

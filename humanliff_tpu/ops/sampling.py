@@ -93,6 +93,14 @@ def upsample_z_vals(
         here, exactly like the reference's up_sample — note render-core alpha does NOT
         apply that scaling; see nerf/renderer.py).
       n_importance: number of new samples.
+      key: PRNG key for random stratification of the inverse-CDF samples. When
+        None, a deterministic linspace ``u`` is used. NOTE — intentional
+        deviation: the reference's ``up_sample`` always calls ``sample_pdf``
+        with ``det=False`` (random ``u``) even at test time (renderer.py:178),
+        so reference eval renders are nondeterministic. We default eval to the
+        deterministic grid (reproducible renders); pass a ``key`` at eval time
+        if strict A/B sample-placement parity against reference renders is
+        required.
 
     Returns new z values ``(..., R, n_importance)`` (unsorted).
     """

@@ -29,11 +29,19 @@ def _path(base: str) -> str:
 def save_state(ckpt_dir: str, step: int, state: Any) -> str:
     """Save a full train state (any pytree) under ckpt_dir/step.
 
-    Idempotent per step: a checkpoint that already exists for this step is kept
-    (a final save at an i_weights multiple would otherwise collide)."""
+    Idempotent per step: a COMPLETE checkpoint that already exists for this step
+    is kept (a final save at an i_weights multiple would otherwise collide). A
+    directory without orbax's commit marker is a partial save from a crashed
+    run — it is deleted and re-saved rather than silently trusted."""
     path = os.path.join(_path(ckpt_dir), f"{step:06d}")
     if os.path.exists(path):
-        return path
+        if os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA")):
+            print(f"[checkpoint] step {step} already saved, keeping {path}")
+            return path
+        import shutil
+
+        print(f"[checkpoint] removing partial checkpoint at {path}, re-saving")
+        shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.tree.map(np.asarray, _strip_static(state)))
     ckptr.wait_until_finished()

@@ -133,38 +133,49 @@ def train_step(
         )
         return terms["loss"]
 
-    def loss_fn(params):
-        if cfg.microbatch and cfg.microbatch < B:
-            n_micro = B // cfg.microbatch
-            xs = batch["x"].reshape(n_micro, cfg.microbatch, *batch["x"].shape[1:])
-            xcs = batch["x_cond"].reshape(
-                n_micro, cfg.microbatch, *batch["x_cond"].shape[1:]
-            )
-            ys = batch["y"].reshape(n_micro, cfg.microbatch)
-            ts = t.reshape(n_micro, cfg.microbatch)
-            ws = weights.reshape(n_micro, cfg.microbatch)
-            ks = jax.random.split(k_noise, n_micro)
+    if cfg.microbatch and cfg.microbatch < B:
+        # Gradient accumulation: value_and_grad runs INSIDE the scan body and
+        # grads accumulate in the carry, so activation memory is one microbatch
+        # (differentiating through the scan would stack residuals for the full
+        # batch and defeat the point of train_util.py:200-246's microbatching).
+        n_micro = B // cfg.microbatch
+        xs = batch["x"].reshape(n_micro, cfg.microbatch, *batch["x"].shape[1:])
+        xcs = batch["x_cond"].reshape(
+            n_micro, cfg.microbatch, *batch["x_cond"].shape[1:]
+        )
+        ys = batch["y"].reshape(n_micro, cfg.microbatch)
+        ts = t.reshape(n_micro, cfg.microbatch)
+        ws = weights.reshape(n_micro, cfg.microbatch)
+        ks = jax.random.split(k_noise, n_micro)
 
-            def micro(_, inp):
-                x, xc, y, tm, w, k = inp
-                losses = per_example_losses(params, x, xc, y, tm, k)
-                return None, (losses, w)
+        def micro_loss(params, x, xc, y, tm, w, k):
+            losses = per_example_losses(params, x, xc, y, tm, k)
+            return (losses * w).sum() / B, losses
 
-            _, (losses, ws_out) = jax.lax.scan(
-                micro, None, (xs, xcs, ys, ts, ws, ks)
+        def micro_step(carry, inp):
+            acc_grads, acc_loss = carry
+            x, xc, y, tm, w, k = inp
+            (l, losses), g = jax.value_and_grad(micro_loss, has_aux=True)(
+                state.params, x, xc, y, tm, w, k
             )
-            losses = losses.reshape(-1)
-            weights_out = ws_out.reshape(-1)
-        else:
+            return (jax.tree.map(jnp.add, acc_grads, g), acc_loss + l), losses
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, loss), losses = jax.lax.scan(
+            micro_step, (zero_grads, jnp.zeros(())), (xs, xcs, ys, ts, ws, ks)
+        )
+        per_ex_losses = losses.reshape(-1)
+    else:
+
+        def loss_fn(params):
             losses = per_example_losses(
                 params, batch["x"], batch["x_cond"], batch["y"], t, k_noise
             )
-            weights_out = weights
-        return (losses * weights_out).mean(), losses
+            return (losses * weights).mean(), losses
 
-    (loss, per_ex_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
+        (loss, per_ex_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
 
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
