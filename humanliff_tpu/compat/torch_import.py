@@ -32,7 +32,11 @@ def _load_torch(path: str) -> Dict[str, Any]:
 
 
 def _np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy(), np.float32)
+    """Tensor-or-array -> fp32 numpy. The mapping layer below works on plain
+    numpy state dicts, so it is testable (and usable) without torch."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
 
 
 def _dense(sd, prefix):
@@ -70,6 +74,12 @@ def import_stage1_checkpoint(path: str):
     obj = _load_torch(path)
     step = int(obj.get("global_step", 0))
     sd = obj.get("network_fn_state_dict", obj)
+    return stage1_params_from_state_dict(sd), step
+
+
+def stage1_params_from_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a reference Stage-1 state dict (torch tensors OR numpy arrays,
+    reference key names) onto our {planes, decoder} params."""
     # strip DataParallel 'module.' prefixes if present
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
 
@@ -93,7 +103,7 @@ def import_stage1_checkpoint(path: str):
         out["planes"] = planes
     if decoder is not None:
         out["decoder"] = decoder
-    return out, step
+    return out
 
 
 def _resblock(sd, p):
@@ -130,6 +140,24 @@ def import_unet_checkpoint(
     ``input_blocks.N.M.*`` indices onto our named blocks.
     """
     sd = _load_torch(path)
+    return unet_params_from_state_dict(
+        sd,
+        num_res_blocks=num_res_blocks,
+        channel_mult=channel_mult,
+        attention_ds=attention_ds,
+        cond_type=cond_type,
+    )
+
+
+def unet_params_from_state_dict(
+    sd: Dict[str, Any],
+    num_res_blocks: int = 3,
+    channel_mult=(1, 1, 2, 2, 4, 4),
+    attention_ds=(8, 16, 32),
+    cond_type: str = "controlnet",
+):
+    """Map a reference UNet state dict (torch tensors OR numpy arrays) onto
+    our flax variables; torch-free numpy path used by the golden tests."""
     sd = { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
 
     params: Dict[str, Any] = {

@@ -96,6 +96,52 @@ def generate_layer(
     )
 
 
+def generate_layer_sharded(
+    model,
+    params,
+    diffusion: GaussianDiffusion,
+    layer_idx: int,
+    x_cond: Optional[jnp.ndarray],
+    key: jax.Array,
+    batch_size: int,
+    image_size: int,
+    channels: int,
+    mesh,
+    use_ddim: bool = False,
+    clip_denoised: bool = True,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """Mesh-parallel layer sampling: the batch shards across ``mesh``'s data
+    axis (params replicated) and the result is gathered back to full
+    replication — the jax-native form of the reference's cross-rank sample
+    all_gather (triplane_sample_layered.py:211-219).
+
+    The denoise math is identical to :func:`generate_layer` (the PRNG stream is
+    sharding-independent), so sharded and single-device sampling agree
+    numerically — proven in tests/test_parallel.py on the 8-device CPU mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide over {mesh.devices.size} devices"
+        )
+    data = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    shape = (batch_size, image_size, image_size, channels)
+    if x_cond is None:
+        x_cond = jnp.zeros(shape, jnp.float32)
+    x_cond = jax.device_put(x_cond, data)
+    y = jax.device_put(jnp.full((batch_size,), layer_idx, jnp.int32), data)
+    params = jax.tree.map(lambda p: jax.device_put(p, repl), params)
+
+    samples = _sample_layer_jit(
+        model, diffusion, params, x_cond, y, key, shape, use_ddim, clip_denoised
+    )
+    return jax.device_put(samples, repl)  # gather: every device holds all samples
+
+
 def generate_all_layers(
     model,
     params,
@@ -106,16 +152,26 @@ def generate_all_layers(
     channels: int = 27,
     num_layers: int = 4,
     use_ddim: bool = False,
+    mesh=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Run the full 4-layer progressive chain; returns {layer_name: (B, H, W, C)}."""
+    """Run the full 4-layer progressive chain; returns {layer_name: (B, H, W, C)}.
+
+    With ``mesh``, each layer's batch shards across the mesh's data axis and the
+    chain conditions on the gathered previous layer."""
     out: Dict[str, jnp.ndarray] = {}
     x_cond = None
     for k in range(num_layers):
         key, sub = jax.random.split(key)
-        samples = generate_layer(
-            model, params, diffusion, k, x_cond, sub,
-            batch_size, image_size, channels, use_ddim,
-        )
+        if mesh is not None:
+            samples = generate_layer_sharded(
+                model, params, diffusion, k, x_cond, sub,
+                batch_size, image_size, channels, mesh, use_ddim,
+            )
+        else:
+            samples = generate_layer(
+                model, params, diffusion, k, x_cond, sub,
+                batch_size, image_size, channels, use_ddim,
+            )
         out[LAYER_NAMES[k] if k < len(LAYER_NAMES) else f"layer_{k}"] = samples
         x_cond = samples
     return out

@@ -1,13 +1,10 @@
-"""Tests for alpha compositing and positional encoding vs oracles."""
+"""Tests for alpha compositing and positional encoding vs numpy oracles."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from humanliff_tpu.ops import composite_rays, volume_weights, positional_encoding
-
-torch = pytest.importorskip("torch")
 
 
 def test_volume_weights_matches_reference_math():
@@ -18,16 +15,14 @@ def test_volume_weights_matches_reference_math():
 
     w = np.asarray(volume_weights(jnp.asarray(dens), jnp.asarray(z)))
 
-    # torch oracle of renderer.py:221-230 (test path: no noise, raw dists).
-    t_dens = torch.from_numpy(dens)
-    t_z = torch.from_numpy(z)
-    dists = t_z[..., 1:] - t_z[..., :-1]
-    dists = torch.cat([dists, torch.full_like(dists[..., :1], 1e10)], -1)
-    alpha = 1.0 - torch.exp(-torch.nn.functional.softplus(t_dens) * dists)
-    trans = torch.cumprod(
-        torch.cat([torch.ones(R, 1), 1.0 - alpha + 1e-7], -1), -1
+    # numpy oracle of renderer.py:221-230 (test path: no noise, raw dists).
+    dists = z[..., 1:] - z[..., :-1]
+    dists = np.concatenate([dists, np.full_like(dists[..., :1], 1e10)], -1)
+    alpha = 1.0 - np.exp(-np.logaddexp(0.0, dens) * dists)
+    trans = np.cumprod(
+        np.concatenate([np.ones((R, 1), np.float32), 1.0 - alpha + 1e-7], -1), -1
     )[:, :-1]
-    ref = (alpha * trans).numpy()
+    ref = alpha * trans
     np.testing.assert_allclose(w, ref, rtol=1e-5, atol=1e-6)
 
 

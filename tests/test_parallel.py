@@ -81,6 +81,38 @@ def test_instance_sharded_table_step_matches_single_device():
     assert not sh.is_fully_replicated
 
 
+def test_mesh_sharded_sampling_matches_single_device():
+    """B=8 sampling sharded over the 8-device mesh == single-device sampling,
+    and the gathered result is fully replicated (the reference's all_gather,
+    triplane_sample_layered.py:211-219)."""
+    from humanliff_tpu.diffusion.respace import create_diffusion
+    from humanliff_tpu.models.unet import UNetModel
+    from humanliff_tpu.sampling.layered import generate_layer, generate_layer_sharded
+
+    model = UNetModel(
+        in_channels=6, model_channels=16, out_channels=6, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), num_classes=4,
+        num_heads=2, cond_type="controlnet",
+    )
+    diffusion = create_diffusion(steps=1000, timestep_respacing="5")
+    object.__setattr__(diffusion, "channel_axis", -1)
+    x0 = jnp.zeros((1, 8, 8, 6))
+    params = model.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), x0, jnp.zeros((1,), jnp.int32)
+    )
+
+    key = jax.random.key(7)
+    B, S, C = 8, 8, 6
+    ref = generate_layer(model, params, diffusion, 1, None, key, B, S, C)
+
+    mesh = make_mesh(8)
+    got = generate_layer_sharded(
+        model, params, diffusion, 1, None, key, B, S, C, mesh
+    )
+    assert got.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
 def test_plane_table_sharding_layout():
     mesh = make_mesh(8)
     cfg = Stage1Config(num_instances=16, triplane_dim=8, triplane_ch=27)

@@ -1,59 +1,28 @@
 """Checkpoint-import tests: functional parity for the decoder, structural
-compatibility for the UNet mapping."""
+compatibility for the UNet mapping.
+
+The mapping layer (``*_from_state_dict``) operates on plain numpy state dicts
+under the reference's key names, so these tests are torch-free; only the
+``.tar`` round-trip test needs torch (to exercise ``torch.load``).
+"""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-torch = pytest.importorskip("torch")
-import torch.nn as nn  # noqa: E402
-import torch.nn.functional as F  # noqa: E402
-
-from humanliff_tpu.compat.torch_import import (  # noqa: E402
-    import_stage1_checkpoint,
-    import_unet_checkpoint,
+from humanliff_tpu.compat.torch_import import (
+    stage1_params_from_state_dict,
+    unet_params_from_state_dict,
 )
-from humanliff_tpu.nerf.decoder import NeRFDecoder  # noqa: E402
+from humanliff_tpu.nerf.decoder import NeRFDecoder
+
+from golden_cases import decoder_oracle_forward, decoder_state_dict
 
 
-class _TorchDecoder(nn.Module):
-    """Independent torch replica of the reference decoder architecture
-    (renderer.py:32-43, :142-164) used as a golden oracle."""
-
-    def __init__(self):
-        super().__init__()
-        self.pts_linears = nn.ModuleList(
-            [nn.Linear(27, 128), nn.Linear(128, 128), nn.Linear(155, 128)]
-        )
-        self.feature_linear = nn.Linear(128, 128)
-        self.alpha_linear = nn.Linear(128, 1)
-        self.views_linear = nn.Linear(155, 64)
-        self.rgb_linear = nn.Linear(64, 3)
-
-    def forward(self, x, viewdir_enc):
-        h = x
-        for i, l in enumerate(self.pts_linears):
-            h = F.softplus(l(h))
-            if i == 1:
-                h = torch.cat([x, h], -1)
-        alpha = self.alpha_linear(h)
-        feat = self.feature_linear(h)
-        h2 = F.softplus(self.views_linear(torch.cat([feat, viewdir_enc], -1)))
-        return self.rgb_linear(h2), alpha
-
-
-def test_decoder_import_functional_parity(tmp_path):
-    torch.manual_seed(0)
-    tdec = _TorchDecoder()
-    path = str(tmp_path / "ckpt.tar")
-    torch.save(
-        {"global_step": 123, "network_fn_state_dict": tdec.state_dict()}, path
-    )
-
-    imported, step = import_stage1_checkpoint(path)
-    assert step == 123
-    dec_vars = imported["decoder"]
+def test_decoder_import_functional_parity():
+    sd = decoder_state_dict()
+    dec_vars = stage1_params_from_state_dict(sd)["decoder"]
 
     rng = np.random.default_rng(0)
     feats = rng.normal(size=(64, 27)).astype(np.float32)
@@ -63,48 +32,63 @@ def test_decoder_import_functional_parity(tmp_path):
     from humanliff_tpu.ops.posenc import positional_encoding
 
     venc = np.asarray(positional_encoding(jnp.asarray(dirs), 4))
-
-    with torch.no_grad():
-        t_rgb, t_alpha = tdec(torch.from_numpy(feats), torch.from_numpy(venc))
+    ref_rgb, ref_alpha = decoder_oracle_forward(sd, feats, venc)
 
     dec = NeRFDecoder()
     rgb, alpha = dec.apply(dec_vars, jnp.asarray(feats), jnp.asarray(dirs))
-    np.testing.assert_allclose(np.asarray(alpha), t_alpha.numpy(), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(rgb), t_rgb.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(alpha), ref_alpha, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), ref_rgb, atol=2e-5)
 
 
-def test_stage1_planes_import(tmp_path):
-    planes = torch.randn(2, 4, 3, 9, 16, 16)
-    path = str(tmp_path / "subj.tar")
-    torch.save({"global_step": 2000, "network_fn_state_dict": {"tri_planes": planes}}, path)
+def test_stage1_planes_import():
+    rng = np.random.default_rng(1)
+    planes = rng.normal(size=(2, 4, 3, 9, 16, 16)).astype(np.float32)
+    out = stage1_params_from_state_dict({"tri_planes": planes})
+    np.testing.assert_allclose(out["planes"], planes)
+
+
+def test_stage1_tar_roundtrip_with_torch(tmp_path):
+    """End-to-end .tar path (needs torch for torch.save/load)."""
+    torch = pytest.importorskip("torch")
+    from humanliff_tpu.compat.torch_import import import_stage1_checkpoint
+
+    sd = {k: torch.from_numpy(v.copy()) for k, v in decoder_state_dict().items()}
+    sd["tri_planes"] = torch.randn(1, 4, 3, 9, 8, 8)
+    path = str(tmp_path / "ckpt.tar")
+    torch.save({"global_step": 123, "network_fn_state_dict": sd}, path)
+
     imported, step = import_stage1_checkpoint(path)
-    assert step == 2000
-    np.testing.assert_allclose(imported["planes"], planes.numpy())
+    assert step == 123
+    assert imported["planes"].shape == (1, 4, 3, 9, 8, 8)
+    assert "decoder" in imported
 
 
 def _synthetic_unet_state_dict(ch=32, num_res_blocks=1, channel_mult=(1, 2),
                                attention_ds=(2,), in_ch=6, out_ch=6,
                                controlnet=True):
-    """Random tensors under the reference's key names (construction order of
-    unet.py:375-518), sized for the tiny test config."""
+    """Random numpy tensors under the reference's key names (construction order
+    of unet.py:375-518), sized for the tiny test config."""
+    rng = np.random.default_rng(4)
     sd = {}
     ted = ch * 4
 
     def dense(p, i, o):
-        sd[f"{p}.weight"] = torch.randn(o, i) * 0.02
-        sd[f"{p}.bias"] = torch.zeros(o)
+        sd[f"{p}.weight"] = rng.normal(scale=0.02, size=(o, i)).astype(np.float32)
+        sd[f"{p}.bias"] = np.zeros(o, np.float32)
 
     def conv(p, i, o, k=3):
-        sd[f"{p}.weight"] = torch.randn(o, i, k, k) * 0.02
-        sd[f"{p}.bias"] = torch.zeros(o)
+        sd[f"{p}.weight"] = rng.normal(scale=0.02, size=(o, i, k, k)).astype(
+            np.float32
+        )
+        sd[f"{p}.bias"] = np.zeros(o, np.float32)
 
     def conv1d(p, i, o):
-        sd[f"{p}.weight"] = torch.randn(o, i, 1) * 0.02
-        sd[f"{p}.bias"] = torch.zeros(o)
+        sd[f"{p}.weight"] = rng.normal(scale=0.02, size=(o, i, 1)).astype(np.float32)
+        sd[f"{p}.bias"] = np.zeros(o, np.float32)
 
     def gn(p, c):
-        sd[f"{p}.weight"] = torch.ones(c)
-        sd[f"{p}.bias"] = torch.zeros(c)
+        sd[f"{p}.weight"] = np.ones(c, np.float32)
+        sd[f"{p}.bias"] = np.zeros(c, np.float32)
 
     def resblock(p, cin, cout):
         gn(f"{p}.in_layers.0", cin)
@@ -122,7 +106,7 @@ def _synthetic_unet_state_dict(ch=32, num_res_blocks=1, channel_mult=(1, 2),
 
     dense("time_embed.0", ch, ted)
     dense("time_embed.2", ted, ted)
-    sd["label_emb.weight"] = torch.randn(4, ted) * 0.02
+    sd["label_emb.weight"] = rng.normal(scale=0.02, size=(4, ted)).astype(np.float32)
 
     def encoder(prefix):
         conv(f"{prefix}.0.0", in_ch, ch)
@@ -175,15 +159,12 @@ def _synthetic_unet_state_dict(ch=32, num_res_blocks=1, channel_mult=(1, 2),
     return sd
 
 
-def test_unet_import_structure_and_forward(tmp_path):
+def test_unet_import_structure_and_forward():
     from humanliff_tpu.models.unet import UNetModel
 
     sd = _synthetic_unet_state_dict()
-    path = str(tmp_path / "model.pt")
-    torch.save(sd, path)
-
-    variables = import_unet_checkpoint(
-        path, num_res_blocks=1, channel_mult=(1, 2), attention_ds=(2,),
+    variables = unet_params_from_state_dict(
+        sd, num_res_blocks=1, channel_mult=(1, 2), attention_ds=(2,),
     )
 
     model = UNetModel(
