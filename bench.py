@@ -1,12 +1,14 @@
-"""Benchmark: full 4-layer tri-plane generation wall-clock on the local accelerator.
+"""Benchmark: the BASELINE.md headline — full 4-layer tri-plane generation PLUS a
+512^2 novel-view render — measured end-to-end on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-This is BASELINE.md's headline target: "full 4-layer tri-plane generation ... in
-<30 s on a v5e-8". We measure the flagship configuration (256x256x27 ControlNet
-UNet, 250 respaced DDPM steps per layer, bf16, batch 1) on however many chips are
-local — currently ONE — and report vs_baseline = 30s / measured, so >1.0 beats the
-target (on 1/8th of the target hardware when single-chip).
+- value / vs_baseline: combined wall-clock for (4 x 250-step DDPM generation of the
+  flagship 256x256x27 ControlNet UNet) + (one 512^2 bf16 novel-view render of the
+  final layer at 128+128 samples); vs_baseline = 30s / measured, so >1.0 beats the
+  "<30 s on a v5e-8" target — on ONE chip when single-chip.
+- extras: the split (generation_s, render_s), UNet denoise steps/s, and MFU of the
+  denoise step from XLA's compiled FLOP count vs the chip's peak.
 
 Timing notes: sync is by value readback (block_until_ready is unreliable on
 tunneled TPU backends); the persistent XLA cache makes repeat runs skip the
@@ -20,12 +22,37 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# bf16 peak matmul FLOP/s per chip by device kind (public specs).
+_PEAK_FLOPS = {
+    "v5 lite": 197e12,  # TPU v5e
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6": 918e12,  # Trillium
+}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in _PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return None
 
 
 def main() -> None:
+    from humanliff_tpu.data.raygen import full_image_rays
+    from humanliff_tpu.data.view_datasets import NovelViewCameras
     from humanliff_tpu.diffusion.respace import create_diffusion
     from humanliff_tpu.models.factory import create_model
-    from humanliff_tpu.sampling.layered import generate_all_layers
+    from humanliff_tpu.nerf.decoder import NeRFDecoder
+    from humanliff_tpu.nerf.renderer import RenderConfig, render_image_masked
+    from humanliff_tpu.sampling.layered import (
+        generate_all_layers,
+        planes_image_to_triplane,
+    )
     from humanliff_tpu.utils.profiling import force_sync
     from humanliff_tpu.utils.runtime import setup_runtime
 
@@ -77,6 +104,7 @@ def main() -> None:
 
     wrap = Bf16Model()
 
+    # ---- 1. Four-layer generation -------------------------------------------
     def run(key):
         out = generate_all_layers(
             wrap, params, diffusion, key, batch_size=1, image_size=256, channels=27
@@ -84,19 +112,87 @@ def main() -> None:
         force_sync(out)
         return out
 
-    run(jax.random.key(1))  # warmup / compile (persistent-cached across runs)
+    layers = run(jax.random.key(1))  # warmup / compile (persistent-cached)
     t0 = time.perf_counter()
-    run(jax.random.key(2))
-    dt = time.perf_counter() - t0
+    layers = run(jax.random.key(2))
+    generation_s = time.perf_counter() - t0
 
+    # ---- 2. Denoise steps/s + MFU --------------------------------------------
+    N_STEPS = 50
+
+    @jax.jit
+    def denoise_chain(p, x, xc, y):
+        def body(carry, t):
+            x = carry
+            eps = wrap.apply(p, x, jnp.full((x.shape[0],), t, jnp.float32), xc, y)
+            return x - 0.01 * eps, ()
+
+        out, _ = jax.lax.scan(body, x, jnp.arange(N_STEPS, dtype=jnp.float32))
+        return out
+
+    x = jnp.zeros((1, 256, 256, 27))
+    y = jnp.zeros((1,), jnp.int32)
+    force_sync(denoise_chain(params, x, x, y))
+    t0 = time.perf_counter()
+    force_sync(denoise_chain(params, x, x, y))
+    steps_per_s = N_STEPS / (time.perf_counter() - t0)
+
+    mfu = None
+    try:
+        one = jax.jit(lambda p, x, xc, y: wrap.apply(
+            p, x, jnp.zeros((1,), jnp.float32), xc, y))
+        cost = one.lower(params, x, x, y).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = _peak_flops()
+        if flops > 0 and peak:
+            mfu = flops * steps_per_s / peak
+    except Exception:
+        pass
+
+    # ---- 3. 512^2 novel-view render of the final generated layer -------------
+    S = 512
+    bounds = np.asarray([[-1.0, -1.2, -1.0], [1.0, 1.2, 1.0]], np.float32)
+    final = next(reversed(layers.values()))[0]
+    planes = planes_image_to_triplane(jnp.asarray(final, jnp.bfloat16))
+    decoder = NeRFDecoder(d_in=27)
+    dec_params = decoder.init(
+        jax.random.key(3), jnp.zeros((8, 27)), jnp.zeros((8, 3))
+    )
+    dec_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), dec_params)
+    cams = NovelViewCameras(image_size=S)
+    K, R, T = cams.camera(0)
+    ro, rd, near, far, mask = full_image_rays(S, S, K, R, T, bounds)
+    cfg = RenderConfig(n_samples=128, n_importance=128, perturb=False,
+                       density_noise=False)
+
+    def render_once():
+        out = render_image_masked(
+            decoder, dec_params, planes, ro, rd, near, far, mask,
+            jnp.asarray(bounds), cfg,
+        )
+        force_sync(out["rgb"])
+        return out
+
+    render_once()  # warmup
+    t0 = time.perf_counter()
+    render_once()
+    render_s = time.perf_counter() - t0
+
+    total_s = generation_s + render_s
     target_s = 30.0  # BASELINE.md: <30 s on a v5e-8 (we run on len(jax.devices()))
     print(
         json.dumps(
             {
-                "metric": "fourlayer_generation_wallclock",
-                "value": round(dt, 2),
+                "metric": "fourlayer_gen_plus_512render_wallclock",
+                "value": round(total_s, 2),
                 "unit": f"s_on_{len(jax.devices())}_chip",
-                "vs_baseline": round(target_s / dt, 3),
+                "vs_baseline": round(target_s / total_s, 3),
+                "generation_s": round(generation_s, 2),
+                "render_s": round(render_s, 2),
+                "denoise_steps_per_s": round(steps_per_s, 2),
+                "mfu": None if mfu is None else round(mfu, 4),
             }
         )
     )

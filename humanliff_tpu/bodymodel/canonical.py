@@ -111,6 +111,43 @@ def deform_to_canonical_batched(
     return can, None
 
 
+def make_eval_deform_fn(model: BodyModel):
+    """Pose-parameterized deform_fn for the eval/decode renderers.
+
+    Returns ``deform(pts (M,3), dirs (M,3)|None, args) -> (pts, dirs)`` where
+    ``args`` is a pytree of the item's SMPL tensors — a TRACED renderer operand,
+    so one compilation serves every view/pose (closing over per-view arrays would
+    recompile + embed them as HLO constants). ``args`` keys: ``poses`` (J*3,),
+    ``betas`` (n,), ``t_poses`` (J*3,), ``R`` (3,3), ``Th`` (1,3) or (3,),
+    ``smpl_verts`` (V,3) — posed verts in SMPL space.
+
+    Semantics follow renderer.py:124-140: world -> SMPL space via ``(x - Th) @ R``
+    (including the reference's quirk of translating the view DIRECTIONS by Th),
+    then inverse-LBS into the shared big pose.
+    """
+
+    def deform(pts, dirs, args):
+        Rg = jnp.asarray(args["R"], jnp.float32).reshape(3, 3)
+        Th = jnp.asarray(args["Th"], jnp.float32).reshape(1, 3)
+        pts = (pts - Th) @ Rg
+        if dirs is not None:
+            dirs = (dirs - Th) @ Rg
+        # B=1 through the BATCHED path: its bf16 MXU 1-NN + closed-form 3x3
+        # inverse is ~5x the single-item (fp32 KNN, LU) variant at render scale.
+        can, cdirs = deform_to_canonical_batched(
+            model,
+            jnp.asarray(args["poses"], jnp.float32).reshape(1, -1),
+            jnp.asarray(args["betas"], jnp.float32).reshape(1, -1),
+            jnp.asarray(args["t_poses"], jnp.float32).reshape(1, -1),
+            jnp.asarray(args["smpl_verts"], jnp.float32)[None],
+            pts[None],
+            None if dirs is None else dirs[None],
+        )
+        return can[0], (None if cdirs is None else cdirs[0])
+
+    return deform
+
+
 def nearest_vertex(
     query: jnp.ndarray, verts: jnp.ndarray, tile: int = 8192
 ) -> jnp.ndarray:

@@ -50,11 +50,26 @@ def build_parser():
     p.add_argument("--decode", action="store_true",
                    help="render novel views + mesh with the Stage-1 decoder")
     p.add_argument("--stage1_ckpt", type=str, default=None)
+    p.add_argument("--view_dataset", type=str, default="orbit",
+                   choices=("orbit", "synbody", "tightcap"),
+                   help="camera/bounds source for decoding: real capture data "
+                        "(synbody/tightcap, reference *View_datasets semantics) "
+                        "or the labeled procedural-orbit fallback")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="capture root for --view_dataset synbody/tightcap")
+    p.add_argument("--cameras_json", type=str, default=None,
+                   help="orbit mode: use this cameras.json instead of the orbit")
+    p.add_argument("--smpl_model_path", type=str, default="assets/SMPL_NEUTRAL.pkl")
+    p.add_argument("--image_scaling", type=float, default=1.0)
     p.add_argument("--num_views", type=int, default=40)
     p.add_argument("--render_size", type=int, default=512)
     p.add_argument("--mesh_resolution", type=int, default=512)
     p.add_argument("--render_bf16", type=lambda s: s.lower() == "true", default=True,
                    help="bf16 NeRF decode (2.6x faster; max rgb err ~1.5e-3)")
+    p.add_argument("--fast_render", type=lambda s: s.lower() == "true", default=True,
+                   help="grid-guided coarse pass + empty-ray termination "
+                        "(nerf/fastpath.py); exact fine pass, ~3x faster decode")
+    p.add_argument("--grid_resolution", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -68,6 +83,57 @@ def _load_ema_params(args):
     return ema
 
 
+def _decode_views(args, layer_idx: int):
+    """Yield per-view render inputs (dicts) from the chosen camera/bounds source.
+
+    Real data (``--view_dataset synbody/tightcap``) reproduces the reference's
+    *View_datasets semantics — per-view full-image rays against the subject's
+    per-pose SMPL world bounds, canonical deform args for TightCap
+    (SynBodyView_datasets.py:215-308, TightCapView_datasets.py:34-37). The
+    procedural orbit is an explicitly-labeled fallback for data-free decoding.
+    """
+    S = args.render_size
+    if args.view_dataset == "orbit":
+        from humanliff_tpu.data.view_datasets import NovelViewCameras
+
+        if args.cameras_json is None:
+            print("[decode] NOTE: procedural-orbit fallback cameras + default "
+                  "bounds (no --data_root / --cameras_json given)")
+        bounds = np.asarray([[-1.0, -1.2, -1.0], [1.0, 1.2, 1.0]], np.float32)
+        cams = NovelViewCameras(image_size=S, cameras_json=args.cameras_json)
+        for v in range(args.num_views):
+            item = cams.rays(v, bounds)
+            item["box_warp"] = bounds
+            yield item
+        return
+
+    views = list(range(145, 145 + args.num_views))
+    if args.view_dataset == "synbody":
+        from humanliff_tpu.bodymodel.smpl import load_body_model
+        from humanliff_tpu.data.view_datasets import SynBodyViewDataset
+
+        models = {
+            g: load_body_model(os.path.join("assets", f"SMPLX_{g.upper()}.pkl"))
+            for g in ("male", "female", "neutral")
+        }
+        ds = SynBodyViewDataset(
+            data_root=args.data_root, body_models=models,
+            image_scaling=args.image_scaling, layer_idx=layer_idx,
+            output_views=views,
+        )
+    else:
+        from humanliff_tpu.bodymodel.smpl import load_body_model
+        from humanliff_tpu.data.view_datasets import TightCapViewDataset
+
+        ds = TightCapViewDataset(
+            data_root=args.data_root, body_model=load_body_model(args.smpl_model_path),
+            image_scaling=args.image_scaling, layer_idx=layer_idx,
+            output_views=views,
+        )
+    for i in range(min(args.num_views, len(ds))):
+        yield ds.item(i)
+
+
 def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
     """Render generated planes to novel views + export video and mesh
     (triplane_sample_layered.py:155-207)."""
@@ -75,9 +141,7 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
 
     from humanliff_tpu.nerf.decoder import NeRFDecoder
     from humanliff_tpu.nerf.geometry import extract_mesh
-    from humanliff_tpu.nerf.renderer import RenderConfig, render_image_chunked
-    from humanliff_tpu.data.raygen import full_image_rays
-    from humanliff_tpu.data.synthetic import SyntheticLayeredDataset
+    from humanliff_tpu.nerf.renderer import RenderConfig, render_image_masked
     from humanliff_tpu.mesh import write_ply
 
     s1, _ = ckpt.restore_state(args.stage1_ckpt)
@@ -95,21 +159,66 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
     cfg = RenderConfig(n_samples=128, n_importance=128, perturb=False,
                        density_noise=False)
 
-    bounds = np.asarray([[-1.0, -1.2, -1.0], [1.0, 1.2, 1.0]], np.float32)
+    layer_idx = LAYER_NAMES.index(layer_name)
+    deform_fn = None
+    if args.view_dataset == "tightcap":
+        # Canonical-space decode: render through inverse-LBS with big-pose
+        # bounds (TightCapView semantics; all_test.py:231-327).
+        from humanliff_tpu.bodymodel.canonical import make_eval_deform_fn
+        from humanliff_tpu.bodymodel.smpl import load_body_model
+
+        deform_fn = make_eval_deform_fn(load_body_model(args.smpl_model_path))
+
+    view_items = list(_decode_views(args, layer_idx))
     S = args.render_size
-    cam_src = SyntheticLayeredDataset(image_size=S)
+    # Mesh bounds: canonical big-pose bounds for TightCap, else the (shared)
+    # world bounds of the first view item.
+    bounds = np.asarray(view_items[0]["box_warp"], np.float32)
 
     for si, sample in enumerate(samples_nhwc):
         planes = planes_image_to_triplane(jnp.asarray(sample, cast_dtype))
-        frames = []
-        for v in range(args.num_views):
-            K, R, T = cam_src._camera(v)
-            ro, rd, near, far, _ = full_image_rays(S, S, K, R, T, bounds)
-            out = render_image_chunked(
-                decoder, decoder_params, planes, ro, rd, near, far,
-                np.stack(bounds, 0), cfg, chunk=S * S // 16,
+        grid = None
+        grid_box = None
+        if args.fast_render:
+            # One grid per (sample, layer), reused across all views — the grid
+            # lives in the planes' own (canonical) space. Rebuilt below if a
+            # view carries different bounds.
+            from humanliff_tpu.nerf.fastpath import build_density_grid, render_image_fast
+
+            grid = build_density_grid(
+                decoder, decoder_params, planes, bounds,
+                resolution=args.grid_resolution,
             )
-            img = (np.clip(np.asarray(out["rgb"]).reshape(S, S, 3), 0, 1) * 255
+            grid_box = np.asarray(bounds, np.float32)
+        frames = []
+        for v, item in enumerate(view_items):
+            H, W = (int(item["hw"][0]), int(item["hw"][1])) if "hw" in item else (S, S)
+            dargs = None
+            if deform_fn is not None:
+                dargs = {k: item[k] for k in
+                         ("poses", "betas", "t_poses", "R", "Th", "smpl_verts")}
+            if grid is not None:
+                item_box = np.asarray(item["box_warp"], np.float32)
+                if not np.array_equal(item_box, grid_box):
+                    grid = build_density_grid(
+                        decoder, decoder_params, planes, item_box,
+                        resolution=args.grid_resolution,
+                    )
+                    grid_box = item_box
+                out = render_image_fast(
+                    decoder, decoder_params, planes, grid,
+                    item["rays_o"], item["rays_d"], item["near"], item["far"],
+                    item["ray_mask"], np.asarray(item["box_warp"], np.float32),
+                    cfg, deform_fn=deform_fn, deform_args=dargs,
+                )
+            else:
+                out = render_image_masked(
+                    decoder, decoder_params, planes,
+                    item["rays_o"], item["rays_d"], item["near"], item["far"],
+                    item["ray_mask"], np.asarray(item["box_warp"], np.float32), cfg,
+                    deform_fn=deform_fn, deform_args=dargs,
+                )
+            img = (np.clip(np.asarray(out["rgb"]).reshape(H, W, 3), 0, 1) * 255
                    ).astype(np.uint8)
             frames.append(img)
             imageio.imwrite(

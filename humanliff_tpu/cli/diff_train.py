@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema_rate", type=str, default="0.9999")
     p.add_argument("--schedule_sampler", type=str, default="uniform")
     p.add_argument("--use_amp", type=lambda s: s.lower() == "true", default=True)
+    p.add_argument("--zero_shard", type=lambda s: s.lower() == "true", default=True,
+                   help="ZeRO-1: partition Adam moments + EMA across the data "
+                        "mesh (no-op on one device); see parallel/mesh.py")
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--save_interval", type=int, default=50000)
     p.add_argument("--total_steps", type=int, default=300000)
@@ -96,7 +99,22 @@ def main(argv=None):
         print(f"resumed from step {start}")
 
     mesh = make_mesh()
-    state = replicate(state, mesh)
+    if args.zero_shard and mesh.devices.size > 1:
+        from humanliff_tpu.parallel import (
+            place_with_shardings,
+            stage2_zero_shardings,
+            zero_parallel_jit,
+        )
+
+        shardings = stage2_zero_shardings(state, mesh)
+        state = place_with_shardings(state, shardings)
+        step_fn = zero_parallel_jit(
+            lambda s, b, k: train_step(s, b, k, model, diffusion, cfg),
+            mesh, shardings, donate_argnums=0,
+        )
+    else:
+        state = replicate(state, mesh)
+        step_fn = lambda s, b, k: train_step(s, b, k, model, diffusion, cfg)
 
     if args.data_dir == "synthetic":
         rng = np.random.default_rng(args.seed)
@@ -121,7 +139,7 @@ def main(argv=None):
     while step < args.total_steps:
         batch = shard_batch(next(batches), mesh)
         key, sub = jax.random.split(key)
-        state, m = train_step(state, batch, sub, model, diffusion, cfg)
+        state, m = step_fn(state, batch, sub)
         step += 1
         log.logkv_mean("loss", float(m["loss"]))
         log.logkv_mean("grad_norm", float(m["grad_norm"]))

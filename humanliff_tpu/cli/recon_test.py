@@ -47,6 +47,23 @@ def main(argv=None):
         perturb=False, density_noise=False, white_bkgd=args.white_bkgd,
     )
 
+    # TightCap canonical-space eval (all_test.py:231-327): render through the
+    # inverse-LBS deform with the big-pose bounds as box_warp (the dataset items
+    # already carry box_warp = t_world_bounds and the per-view SMPL tensors).
+    deform_fn = None
+    deform_args_fn = None
+    if getattr(args, "use_canonical_space", False):
+        from humanliff_tpu.bodymodel.canonical import make_eval_deform_fn
+
+        if body_model is None:
+            raise ValueError(
+                "--use_canonical_space needs a body model (TightCap dataset)"
+            )
+        deform_fn = make_eval_deform_fn(body_model)
+        deform_args_fn = lambda item: {
+            k: item[k] for k in ("poses", "betas", "t_poses", "R", "Th", "smpl_verts")
+        }
+
     all_metrics = {}
     for subj in range(args.start_idx, min(args.end_idx, args.num_instance)):
         plane_path = os.path.join(args.triplane_dir, f"subject{subj:04d}_002000.npz")
@@ -65,6 +82,7 @@ def main(argv=None):
             agg = evaluate_views(
                 decoder, decoder_params, planes_all[layer], items, cfg,
                 savedir=savedir, tag=f"s{subj:04d}_l{layer}",
+                deform_fn=deform_fn, deform_args_fn=deform_args_fn,
             )
             all_metrics[f"subject{subj}_layer{layer}"] = agg
             print(f"subject {subj} layer {layer}: {agg}")

@@ -16,8 +16,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from humanliff_tpu.eval.metrics import lpips_fn, mse, psnr, ssim
-from humanliff_tpu.nerf.renderer import render_image_chunked
+from humanliff_tpu.eval.metrics import lpips_fn, mse, ssim
+from humanliff_tpu.nerf.renderer import render_image_masked
 
 
 def default_test_views(layer: int, test_layer_id: Optional[int] = None) -> List[int]:
@@ -39,10 +39,16 @@ def evaluate_views(
     savedir: Optional[str] = None,
     chunk: int = 4096,
     deform_fn=None,
+    deform_args_fn=None,
     tag: str = "subject",
 ) -> Dict[str, float]:
     """Render each full-image view item (from a dataset's split='test' path) and
-    score it. Returns aggregated metrics."""
+    score it. Returns aggregated metrics.
+
+    Rendering computes only the ``ray_mask`` (mask_at_box) rays — the reference
+    renders every pixel and zeroes the rest (all_test.py:178), so outputs match
+    at a fraction of the cost. ``deform_fn`` enables TightCap canonical-space
+    eval; ``deform_args_fn(item)`` extracts its per-view traced SMPL args."""
     if savedir:
         os.makedirs(savedir, exist_ok=True)
     lpips = lpips_fn()
@@ -50,10 +56,12 @@ def evaluate_views(
     for vi, item in enumerate(view_items):
         H, W = (int(item["hw"][0]), int(item["hw"][1]))
         t0 = time.time()
-        out = render_image_chunked(
+        out = render_image_masked(
             decoder, decoder_params, planes,
             item["rays_o"], item["rays_d"], item["near"], item["far"],
-            item["box_warp"], cfg, chunk=chunk, deform_fn=deform_fn,
+            item["ray_mask"], item["box_warp"], cfg, chunk=chunk,
+            deform_fn=deform_fn,
+            deform_args=None if deform_args_fn is None else deform_args_fn(item),
         )
         rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
         dt = time.time() - t0
@@ -61,17 +69,22 @@ def evaluate_views(
 
         gt = np.asarray(item["rgb"]).reshape(H, W, 3)
         mask = np.asarray(item["ray_mask"]).reshape(H, W).astype(bool)
-        # Crop to the bounding rows/cols of the box mask (all_test.py crop).
+        # Reference scoring (all_test.py:19-42,186-195): MSE/PSNR over the mask
+        # pixels only; SSIM over the mask's bounding-box crop with both images
+        # zeroed outside the mask.
+        gt_z = np.where(mask[..., None], gt, 0.0)
         if mask.any():
             ys, xs = np.where(mask)
             sl = (slice(ys.min(), ys.max() + 1), slice(xs.min(), xs.max() + 1))
+            m = mse(rgb[mask], gt[mask])
         else:
             sl = (slice(None), slice(None))
-        pred_c, gt_c = rgb[sl], gt[sl]
+            m = mse(rgb, gt_z)
+        pred_c, gt_c = rgb[sl], gt_z[sl]
 
         row = {
-            "mse": mse(pred_c, gt_c),
-            "psnr": psnr(pred_c, gt_c),
+            "mse": m,
+            "psnr": -10.0 * float(np.log10(max(m, 1e-12))),
             "ssim": ssim(pred_c, gt_c),
             "time_s": dt,
         }

@@ -70,7 +70,14 @@ def ssim(
 
 
 def lpips_fn() -> Optional[Callable[[np.ndarray, np.ndarray], float]]:
-    """Perceptual metric when the lpips package + weights are available, else None."""
+    """Perceptual metric: the JAX VGG-LPIPS port when its weight npz exists
+    (eval/lpips_jax.py; gate is ONLY weight availability), falling back to the
+    torch ``lpips`` package, else None (the eval column is skipped)."""
+    from humanliff_tpu.eval.lpips_jax import make_lpips
+
+    fn = make_lpips()
+    if fn is not None:
+        return fn
     try:  # pragma: no cover - environment-dependent
         import lpips  # type: ignore
         import torch

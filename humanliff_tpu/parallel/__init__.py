@@ -6,4 +6,7 @@ from humanliff_tpu.parallel.mesh import (
     replicate,
     shard_stage1_params,
     data_parallel_jit,
+    stage2_zero_shardings,
+    place_with_shardings,
+    zero_parallel_jit,
 )

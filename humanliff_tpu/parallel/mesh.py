@@ -65,6 +65,77 @@ def shard_stage1_params(params: Dict[str, Any], mesh: Mesh, axis_name: str = "da
     return out
 
 
+def _largest_divisible_axis_spec(shape, n: int, axis_name: str):
+    """PartitionSpec sharding the largest axis divisible by ``n`` (else replicate)."""
+    best = None
+    for i, d in enumerate(shape):
+        if d % n == 0 and d >= n and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return P(*spec)
+
+
+def zero_sharding(leaf, mesh: Mesh, axis_name: str = "data"):
+    """ZeRO-style sharding for one optimizer/EMA leaf: partition its largest
+    mesh-divisible axis across ``data`` (replicate scalars/small leaves)."""
+    shape = getattr(leaf, "shape", ())
+    return NamedSharding(
+        mesh, _largest_divisible_axis_spec(shape, mesh.devices.size, axis_name)
+    )
+
+
+def stage2_zero_shardings(state, mesh: Mesh, axis_name: str = "data"):
+    """Sharding pytree for a Stage2State under ZeRO-1 partitioning.
+
+    Params (used by every forward) and the step/sampler scalars replicate;
+    Adam moments and EMA copies — the bulk of the 497M-param flagship's 10 GB
+    state floor — shard across the data axis. XLA computes the optimizer update
+    shard-wise and all-gathers only the param update, which is exactly the
+    ZeRO-1 communication pattern; per-chip state drops from ~10 GB to
+    ~4 GB + 6 GB / n_devices, doubling the trainable per-chip batch.
+
+    Reference accounting of what state exists: train_util.py:92-103.
+    """
+    repl = NamedSharding(mesh, P())
+
+    def shard_tree(tree):
+        return jax.tree.map(lambda l: zero_sharding(l, mesh, axis_name), tree)
+
+    def repl_tree(tree):
+        return jax.tree.map(lambda _: repl, tree)
+
+    return state.replace(
+        step=repl,
+        params=repl_tree(state.params),
+        opt_state=shard_tree(state.opt_state),
+        ema_params=shard_tree(state.ema_params),
+        sampler_state=(
+            None if state.sampler_state is None else repl_tree(state.sampler_state)
+        ),
+    )
+
+
+def place_with_shardings(tree, shardings):
+    """Device-put every leaf of ``tree`` onto its matching sharding leaf."""
+    return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def zero_parallel_jit(fn, mesh: Mesh, state_shardings, axis_name: str = "data",
+                      **jit_kwargs):
+    """jit a (state, batch, key) step with ZeRO-sharded optimizer/EMA state."""
+    repl = NamedSharding(mesh, P())
+    batch_s = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        fn,
+        in_shardings=(state_shardings, batch_s, repl),
+        out_shardings=(state_shardings, repl),
+        **jit_kwargs,
+    )
+
+
 def data_parallel_jit(fn, mesh: Mesh, axis_name: str = "data", **jit_kwargs):
     """jit with explicit data-parallel in/out shardings for a (state, batch, key)
     step function: state replicated, batch sharded on its leading axis."""

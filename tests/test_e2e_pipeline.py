@@ -5,6 +5,10 @@ fine-tune -> plane packing -> diffusion training -> 4-layer progressive sampling
 -> NeRF decode of a generated plane -> mesh extraction. Everything in-process.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np

@@ -1,6 +1,8 @@
 """Sharding tests on the 8-device CPU mesh: instance-sharded plane table,
 replicated decoder, and distributed-equivalence of the stage-1 step."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +47,7 @@ def _batch(B, R=32, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_instance_sharded_table_step_matches_single_device():
     cfg = Stage1Config(
         num_instances=16,
@@ -81,6 +84,7 @@ def test_instance_sharded_table_step_matches_single_device():
     assert not sh.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_mesh_sharded_sampling_matches_single_device():
     """B=8 sampling sharded over the 8-device mesh == single-device sampling,
     and the gathered result is fully replicated (the reference's all_gather,
@@ -122,3 +126,77 @@ def test_plane_table_sharding_layout():
     shard_shapes = {s.data.shape for s in params["planes"].addressable_shards}
     assert shard_shapes == {(2, 4, 3, 9, 8, 8)}
     assert params["decoder"]["params"]["alpha"]["kernel"].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_zero_sharded_stage2_matches_replicated():
+    """ZeRO-1 partitioning of Adam moments + EMA across the 8-device mesh is
+    numerically identical to replicated training, and the big state leaves
+    actually end up sharded (VERDICT r1 item 7)."""
+    from humanliff_tpu.diffusion.respace import create_diffusion
+    from humanliff_tpu.models.unet import UNetModel
+    from humanliff_tpu.parallel.mesh import (
+        place_with_shardings,
+        stage2_zero_shardings,
+        zero_parallel_jit,
+    )
+    from humanliff_tpu.train.stage2 import (
+        Stage2Config,
+        create_stage2_state,
+        train_step,
+    )
+
+    model = UNetModel(
+        in_channels=6, model_channels=16, out_channels=6, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), num_classes=4,
+        num_heads=2, cond_type="controlnet",
+    )
+    diffusion = create_diffusion(steps=1000, timestep_respacing="10")
+    object.__setattr__(diffusion, "channel_axis", -1)
+    cfg = Stage2Config(lr=1e-4, ema_rates=(0.999,))
+
+    x0 = jnp.zeros((1, 8, 8, 6))
+    params = model.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), x0, jnp.zeros((1,), jnp.int32)
+    )
+    B = 8
+    rng = np.random.default_rng(3)
+    batch = {
+        "x": jnp.asarray(rng.normal(size=(B, 8, 8, 6)), jnp.float32),
+        "x_cond": jnp.asarray(rng.normal(size=(B, 8, 8, 6)), jnp.float32),
+        "y": jnp.asarray(rng.integers(0, 4, B), jnp.int32),
+    }
+    key = jax.random.key(11)
+
+    # Replicated reference.
+    s_ref = create_stage2_state(params, cfg, diffusion.num_timesteps)
+    s_ref, m_ref = train_step(s_ref, batch, key, model, diffusion, cfg)
+
+    # ZeRO-sharded run.
+    mesh = make_mesh(8)
+    s_z = create_stage2_state(params, cfg, diffusion.num_timesteps)
+    shardings = stage2_zero_shardings(s_z, mesh)
+    s_z = place_with_shardings(s_z, shardings)
+    step = zero_parallel_jit(
+        lambda s, b, k: train_step(s, b, k, model, diffusion, cfg),
+        mesh, shardings,
+    )
+    s_z, m_z = step(s_z, shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m_z["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    leaves_ref = jax.tree.leaves(s_ref.params)
+    leaves_z = jax.tree.leaves(s_z.params)
+    for a, b in zip(leaves_ref, leaves_z):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    # The heavy leaves really are partitioned (and stay partitioned post-step).
+    big_opt = [
+        l for l in jax.tree.leaves(s_z.opt_state)
+        if getattr(l, "ndim", 0) >= 1 and max(l.shape) % 8 == 0 and max(l.shape) >= 8
+    ]
+    assert big_opt and all(not l.sharding.is_fully_replicated for l in big_opt)
+    big_ema = [
+        l for l in jax.tree.leaves(s_z.ema_params)
+        if getattr(l, "ndim", 0) >= 1 and max(l.shape) % 8 == 0 and max(l.shape) >= 8
+    ]
+    assert big_ema and all(not l.sharding.is_fully_replicated for l in big_ema)

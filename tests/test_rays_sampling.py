@@ -1,5 +1,7 @@
 """Tests for ray generation, AABB intersection, and PDF sampling vs numpy oracles."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,6 +41,7 @@ def test_get_rays_matches_numpy():
     np.testing.assert_allclose(np.asarray(rd), rd_np, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_intersect_aabb_against_bruteforce():
     rng = np.random.default_rng(4)
     bounds = np.asarray([[-1.0, -0.5, -0.8], [1.0, 1.5, 0.8]], dtype=np.float32)

@@ -1,5 +1,7 @@
 """Renderer tests: shapes, determinism, chunk equivalence, and a tiny overfit."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -50,6 +52,7 @@ def test_eval_render_deterministic():
     np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
 
 
+@pytest.mark.slow
 def test_chunked_matches_unchunked():
     decoder, params, planes, ro, rd, near, far, box = _setup(R=80)
     cfg = RenderConfig(n_samples=16, n_importance=16, perturb=False, density_noise=False)
@@ -62,6 +65,7 @@ def test_chunked_matches_unchunked():
     )
 
 
+@pytest.mark.slow
 def test_stage1_overfit_synthetic_views():
     """Minimum end-to-end slice: fit planes+decoder to views of a synthetic blob.
 
@@ -133,3 +137,63 @@ def test_stage1_overfit_synthetic_views():
     assert last < first * 0.25, (first, last)
     # Planes stayed clamped.
     assert float(jnp.abs(state.params["planes"]).max()) <= 1.0 + 1e-6
+
+
+def test_masked_matches_chunked_on_mask():
+    from humanliff_tpu.nerf.renderer import render_image_masked
+
+    decoder, params, planes, ro, rd, near, far, box = _setup(R=96)
+    cfg = RenderConfig(n_samples=16, n_importance=16, perturb=False, density_noise=False)
+    rng = np.random.default_rng(3)
+    mask = rng.uniform(size=(96,)) < 0.6
+    dense = render_image_chunked(
+        decoder, params, planes, ro, rd, near, far, box, cfg, chunk=32
+    )
+    masked = render_image_masked(
+        decoder, params, planes, ro, rd, near, far, mask, box, cfg, chunk=32,
+        bg_color=0.25,
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked["rgb"])[mask], np.asarray(dense["rgb"])[mask],
+        rtol=2e-5, atol=2e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(masked["rgb"])[~mask], 0.25)
+    np.testing.assert_array_equal(np.asarray(masked["acc"])[~mask], 0.0)
+
+
+def test_masked_empty_mask_is_background():
+    from humanliff_tpu.nerf.renderer import render_image_masked
+
+    decoder, params, planes, ro, rd, near, far, box = _setup(R=16)
+    cfg = RenderConfig(n_samples=8, n_importance=0, perturb=False, density_noise=False)
+    out = render_image_masked(
+        decoder, params, planes, ro, rd, near, far, np.zeros(16, bool), box, cfg,
+        chunk=8, bg_color=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(out["rgb"]), 1.0)
+
+
+def test_masked_deform_args_one_compile_across_poses():
+    """deform_args are traced operands: two different arg pytrees reuse the tile jit."""
+    from humanliff_tpu.nerf.renderer import render_image_masked, _masked_tile_fn
+
+    decoder, params, planes, ro, rd, near, far, box = _setup(R=32)
+    cfg = RenderConfig(n_samples=8, n_importance=8, perturb=False, density_noise=False)
+
+    def shift_deform(pts, dirs, args):
+        return pts + args["offset"], dirs
+
+    mask = np.ones(32, bool)
+    outs = []
+    for off in (0.0, 0.3):
+        outs.append(render_image_masked(
+            decoder, params, planes, ro, rd, near, far, mask, box, cfg, chunk=16,
+            deform_fn=shift_deform, deform_args={"offset": jnp.float32(off)},
+        ))
+    # different offsets must give different renders (args actually threaded)
+    assert not np.allclose(np.asarray(outs[0]["rgb"]), np.asarray(outs[1]["rgb"]))
+    eval_cfg = cfg
+    import dataclasses as _dc
+    eval_cfg = _dc.replace(cfg, perturb=False, density_noise=False)
+    fn = _masked_tile_fn(decoder, eval_cfg, shift_deform)
+    assert fn._cache_size() == 1  # one compilation served both poses

@@ -1,6 +1,10 @@
 """Stage-2 train loop tests: descent, EMA, microbatching equivalence, loss-aware
 sampler state, and the data-parallel step on the 8-device CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

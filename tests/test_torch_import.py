@@ -159,6 +159,7 @@ def _synthetic_unet_state_dict(ch=32, num_res_blocks=1, channel_mult=(1, 2),
     return sd
 
 
+@pytest.mark.slow
 def test_unet_import_structure_and_forward():
     from humanliff_tpu.models.unet import UNetModel
 

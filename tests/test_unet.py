@@ -8,6 +8,8 @@ import pytest
 
 from humanliff_tpu.models import UNetModel, create_model_and_diffusion
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny_unet(**kw):
     args = dict(
