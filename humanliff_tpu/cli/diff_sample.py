@@ -210,13 +210,14 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                     item["rays_o"], item["rays_d"], item["near"], item["far"],
                     item["ray_mask"], np.asarray(item["box_warp"], np.float32),
                     cfg, deform_fn=deform_fn, deform_args=dargs,
+                    outputs=("rgb",),
                 )
             else:
                 out = render_image_masked(
                     decoder, decoder_params, planes,
                     item["rays_o"], item["rays_d"], item["near"], item["far"],
                     item["ray_mask"], np.asarray(item["box_warp"], np.float32), cfg,
-                    deform_fn=deform_fn, deform_args=dargs,
+                    deform_fn=deform_fn, deform_args=dargs, outputs=("rgb",),
                 )
             img = (np.clip(np.asarray(out["rgb"]).reshape(H, W, 3), 0, 1) * 255
                    ).astype(np.uint8)

@@ -7,20 +7,28 @@ purpose is to place the fine samples (reference hierarchy: renderer.py:166-178,
 density grid:
 
 1. ``build_density_grid``: sample the frozen decoder's density on a regular
-   3D grid over the box once per (planes, decoder) — ~0.15 s at 128^3 — and
-   quad-pack the 2x2x2 trilinear corners so the per-point lookup is ONE 16-byte
-   gather instead of nine 24-byte gathers + a full MLP.
+   3D lattice over the box once per (planes, decoder) and quad-pack the 2x2x2
+   trilinear corners so the per-point lookup is ONE 8-wide gather instead of
+   nine 12-wide gathers + a full MLP. Built in ONE jitted program — the
+   lattice is generated on device (the axon tunnel moves host<->device data at
+   only a few MB/s, so shipping 2M points from the host dominates wall-clock).
 2. ``render_image_fast``: per view, (a) coarse densities from the grid place
-   the fine samples, (b) rays whose grid transmittance never drops (empty
+   the fine samples, (b) rays whose grid transmittance never rises (empty
    space) are terminated before the expensive fine pass — typically 50-80% of
    the in-box rays of a human subject.
 
+Data-movement discipline (the performance-critical part on a tunneled TPU):
+rays upload once; the per-ray fine z-values (N x 256 fp32 — hundreds of MB at
+512^2) NEVER leave the device; only the per-ray active bitmap (bools) comes to
+the host for compaction, and compact tile indices (64 KB) go back up. Results
+return as host numpy scattered into the full image.
+
 Fine-pass features and compositing stay EXACT (same plane gather + MLP), so
-the approximation only moves fine-sample positions and drops rays whose
-accumulated alpha is below ``early_term_eps``. Eval is already deterministic
-(deviation documented in ops/sampling.upsample_z_vals); this is the opt-in
-fast tier of the same path. Validated against the exact renderer in
-tests/test_fastpath.py (PSNR delta < 0.1 dB on the synthetic fit).
+the approximation only moves fine-sample positions and drops rays whose grid
+transmittance estimate stays below ``early_term_eps``. Eval is already
+deterministic (deviation documented in ops/sampling.upsample_z_vals); this is
+the opt-in fast tier of the same path. Validated against the exact renderer in
+tests/test_fastpath.py.
 
 Reference workload this accelerates: triplane_sample_layered.py:155-176 — 40
 views x 25 samples x 4 layers of 512^2 x (128+128) rendering.
@@ -45,17 +53,19 @@ from humanliff_tpu.ops.triplane import sample_triplane_features
 class DensityGrid:
     """Quad-packed trilinear density table over ``box_warp``.
 
-    ``table``: ``((R+1)^3, 8)`` rows; row (k, j, i) holds the 2x2x2 corner
-    densities (raw, pre-softplus) of the cell with min corner (i, j, k) on the
-    (R+1)-point lattice spanning the box. Edge-clamped, so every in-box point
-    interpolates real values.
+    ``table``: ``((R+1)^3, 8)`` DEVICE array; row (k, j, i) holds the 2x2x2
+    corner densities (raw, pre-softplus) of the cell with min corner (i, j, k)
+    on the (R+1)-point lattice spanning the box. Edge-clamped.
     """
 
     table: jnp.ndarray
     resolution: int
 
-    def __hash__(self):  # static-arg friendliness (never used as one, but cheap)
+    def __hash__(self):
         return id(self)
+
+
+_BUILD_CACHE: Dict = {}
 
 
 def build_density_grid(
@@ -64,62 +74,48 @@ def build_density_grid(
     planes: jnp.ndarray,
     box_warp,
     resolution: int = 128,
-    chunk: int = 1 << 20,
     deform_fn=None,
     deform_args=None,
 ) -> DensityGrid:
-    """Evaluate raw density on an (R+1)^3 lattice over the box and quad-pack it.
+    """Evaluate raw density on an (R+1)^3 lattice over the box; quad-pack it.
 
-    One-time cost per (planes, decoder); reuse across all views of a sample.
-    ``deform_fn`` is NOT applied here — the grid lives in the tri-plane's own
-    (canonical) space, which is exactly the space deformed points land in.
+    One jitted program, fully device-side; one-time cost per (planes, decoder),
+    reused across all views of a sample. ``deform_fn`` is NOT applied — the
+    grid lives in the tri-plane's own (canonical) space, which is exactly the
+    space deformed points land in.
     """
     R = resolution
-    box = np.asarray(box_warp, np.float32)
-    lin = [np.linspace(box[0, d], box[1, d], R + 1, dtype=np.float32) for d in range(3)]
-    zz, yy, xx = np.meshgrid(lin[2], lin[1], lin[0], indexing="ij")  # (R+1)^3
-    pts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)  # x fastest
-
-    table_fn = _grid_density_fn(decoder)
-    n = pts.shape[0]
-    pad = (-n) % chunk
-    pts_p = np.concatenate([pts, np.tile(pts[-1:], (pad, 1))])
-    outs = []
-    for s in range(0, pts_p.shape[0], chunk):
-        outs.append(
-            table_fn(
-                decoder_params, planes, jnp.asarray(pts_p[s : s + chunk]),
-                jnp.asarray(box),
-            )
-        )
-    dens = jnp.concatenate(outs)[:n].reshape(R + 1, R + 1, R + 1)  # (z, y, x)
-
-    # Quad-pack 2x2x2 corners: row (k, j, i) -> [c000, c001, c010, c011, c100,
-    # c101, c110, c111] with bit order (dz, dy, dx). Edge rows clamp.
-    dpad = jnp.pad(dens, ((0, 1), (0, 1), (0, 1)), mode="edge")
-    corners = [
-        dpad[dz : dz + R + 1, dy : dy + R + 1, dx : dx + R + 1]
-        for dz in (0, 1)
-        for dy in (0, 1)
-        for dx in (0, 1)
-    ]
-    table = jnp.stack(corners, axis=-1).reshape((R + 1) ** 3, 8)
-    return DensityGrid(table=table.astype(planes.dtype), resolution=R)
-
-
-_GRID_FN_CACHE: Dict = {}
-
-
-def _grid_density_fn(decoder):
-    fn = _GRID_FN_CACHE.get(id(decoder))
+    key = (id(decoder), R)
+    fn = _BUILD_CACHE.get(key)
     if fn is None:
         @jax.jit
-        def fn(params, planes, pts, box):
-            feats = sample_triplane_features(planes, pts, box)
-            return decoder.apply(params, feats.astype(planes.dtype))[1][..., 0]
+        def fn(params, planes, box):
+            lin = [jnp.linspace(box[0, d], box[1, d], R + 1) for d in range(3)]
+            xx, yy = jnp.meshgrid(lin[0], lin[1], indexing="xy")  # (y, x)
+            xy = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
 
-        _GRID_FN_CACHE[id(decoder)] = fn
-    return fn
+            def slab(z):
+                pts = jnp.concatenate(
+                    [xy, jnp.full((xy.shape[0], 1), z, xy.dtype)], axis=-1
+                )
+                feats = sample_triplane_features(planes, pts, box)
+                return decoder.apply(params, feats.astype(planes.dtype))[1][..., 0]
+
+            dens = jax.lax.map(slab, lin[2])  # (R+1 z-slabs, (R+1)^2) -> (z, y, x)
+            dens = dens.reshape(R + 1, R + 1, R + 1)
+            dpad = jnp.pad(dens, ((0, 1),) * 3, mode="edge")
+            corners = [
+                dpad[dz : dz + R + 1, dy : dy + R + 1, dx : dx + R + 1]
+                for dz in (0, 1)
+                for dy in (0, 1)
+                for dx in (0, 1)
+            ]
+            table = jnp.stack(corners, axis=-1).reshape((R + 1) ** 3, 8)
+            return table.astype(planes.dtype)
+
+        _BUILD_CACHE[key] = fn
+    box = jnp.asarray(np.asarray(box_warp, np.float32))
+    return DensityGrid(table=fn(decoder_params, planes, box), resolution=R)
 
 
 def sample_grid_density(
@@ -142,9 +138,17 @@ def sample_grid_density(
     return (rows * w).sum(-1).astype(jnp.float32)
 
 
+_COARSE_CACHE: Dict = {}
+_FINE_CACHE: Dict = {}
+
+
 def _coarse_tile_fn(cfg: RenderConfig, deform_fn, early_term_eps: float,
                     resolution: int):
-    """Jitted phase-1: grid-guided fine-sample placement + empty-ray detection."""
+    """Jitted phase-1: grid-guided fine-sample placement + empty-ray detection.
+
+    Returns (z_full (R, S), active (R,)) — both stay on device; only ``active``
+    should ever be pulled to the host.
+    """
     key = (cfg, None if deform_fn is None else id(deform_fn), early_term_eps,
            resolution)
     fn = _COARSE_CACHE.get(key)
@@ -182,15 +186,20 @@ def _coarse_tile_fn(cfg: RenderConfig, deform_fn, early_term_eps: float,
     return fn
 
 
-_COARSE_CACHE: Dict = {}
-
-
 def _fine_tile_fn(decoder, cfg: RenderConfig, deform_fn):
+    """Jitted phase-2 on one compact tile: gathers its rays/z rows ON DEVICE
+    from the full per-view arrays via ``idx_tile``."""
     key = (id(decoder), cfg, None if deform_fn is None else id(deform_fn))
     fn = _FINE_CACHE.get(key)
     if fn is None:
         @jax.jit
-        def fn(params, planes, ro, rd, nr, fr, z_vals, box, deform_args):
+        def fn(params, planes, ro_all, rd_all, nr_all, fr_all, z_all, idx_tile,
+               box, deform_args):
+            ro = jnp.take(ro_all, idx_tile, axis=0)
+            rd = jnp.take(rd_all, idx_tile, axis=0)
+            nr = jnp.take(nr_all, idx_tile, axis=0)
+            fr = jnp.take(fr_all, idx_tile, axis=0)
+            z_vals = jnp.take(z_all, idx_tile, axis=0)
             R_, S = z_vals.shape
             viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
             dirs = jnp.broadcast_to(viewdirs[:, None, :], (R_, S, 3)).reshape(-1, 3)
@@ -205,13 +214,14 @@ def _fine_tile_fn(decoder, cfg: RenderConfig, deform_fn):
                 rgb, dens, z_vals, noise_key=None, white_bkgd=cfg.white_bkgd
             )
             depth = (depth - nr) / (fr - nr + 1e-5)
-            return {"rgb": rgb_map, "acc": acc, "depth": depth}
+            return {
+                "rgb": rgb_map.astype(jnp.float32),
+                "acc": acc.astype(jnp.float32),
+                "depth": depth.astype(jnp.float32),
+            }
 
         _FINE_CACHE[key] = fn
     return fn
-
-
-_FINE_CACHE: Dict = {}
 
 
 def render_image_fast(
@@ -231,63 +241,71 @@ def render_image_fast(
     deform_args=None,
     early_term_eps: float = 1e-2,
     bg_color: float = 0.0,
-) -> Dict[str, jnp.ndarray]:
+    outputs=("rgb", "acc", "depth"),
+) -> Dict[str, np.ndarray]:
     """Full-image render: masked rays -> grid coarse pass -> fine pass on the
-    non-empty rays only. Output layout matches render_image_masked."""
+    non-empty rays only. Returns HOST numpy arrays in the same layout as
+    render_image_masked (rgb (N, 3), acc (N,), depth (N,)). Restrict
+    ``outputs`` to what you need — every extra map is a tunnel download."""
     mask = np.asarray(mask).reshape(-1).astype(bool)
     N = mask.shape[0]
-    idx = np.flatnonzero(mask)
     full = {
-        "rgb": jnp.full((N, 3), bg_color, jnp.float32),
-        "acc": jnp.zeros((N,), jnp.float32),
-        "depth": jnp.zeros((N,), jnp.float32),
+        "rgb": np.full((N, 3), bg_color, np.float32),
+        "acc": np.zeros((N,), np.float32),
+        "depth": np.zeros((N,), np.float32),
     }
+    full = {k: full[k] for k in outputs}
+    idx = np.flatnonzero(mask)
     if idx.size == 0:
         return full
 
     box = jnp.asarray(np.asarray(box_warp, np.float32))
-    rays_o = np.asarray(rays_o)
-    rays_d = np.asarray(rays_d)
-    near = np.asarray(near)
-    far = np.asarray(far)
+    pad = (-idx.size) % chunk
+    idx_p = np.concatenate([idx, np.full((pad,), idx[0], idx.dtype)])
+    # Upload the compacted rays ONCE; all later per-tile access slices/gathers
+    # these device arrays (no further host->device traffic).
+    ro_d = jnp.asarray(np.ascontiguousarray(np.asarray(rays_o)[idx_p], np.float32))
+    rd_d = jnp.asarray(np.ascontiguousarray(np.asarray(rays_d)[idx_p], np.float32))
+    nr_d = jnp.asarray(np.ascontiguousarray(np.asarray(near)[idx_p], np.float32))
+    fr_d = jnp.asarray(np.ascontiguousarray(np.asarray(far)[idx_p], np.float32))
 
     eval_cfg = dataclasses.replace(cfg, perturb=False, density_noise=False)
     coarse = _coarse_tile_fn(eval_cfg, deform_fn, early_term_eps, grid.resolution)
     fine = _fine_tile_fn(decoder, eval_cfg, deform_fn)
 
-    # Phase 1: coarse placement + empty-ray detection over the masked rays.
-    pad = (-idx.size) % chunk
-    idx_p = np.concatenate([idx, np.full((pad,), idx[0], idx.dtype)])
+    # Phase 1: coarse placement + empty-ray detection. z tiles stay on device.
     z_tiles, active_tiles = [], []
     for s in range(0, idx_p.shape[0], chunk):
-        sl = idx_p[s : s + chunk]
+        sl = slice(s, s + chunk)
         z_t, a_t = coarse(
-            grid.table,
-            jnp.asarray(rays_o[sl]), jnp.asarray(rays_d[sl]),
-            jnp.asarray(near[sl]), jnp.asarray(far[sl]), box, deform_args,
+            grid.table, ro_d[sl], rd_d[sl], nr_d[sl], fr_d[sl], box, deform_args
         )
         z_tiles.append(z_t)
         active_tiles.append(a_t)
-    z_all = np.concatenate([np.asarray(z) for z in z_tiles])[: idx.size]
-    active = np.concatenate([np.asarray(a) for a in active_tiles])[: idx.size]
+    z_all = jnp.concatenate(z_tiles)  # device-resident (Np, S)
+    # Only the bitmap crosses the tunnel (Np bools).
+    active = np.concatenate([np.asarray(a) for a in active_tiles])
+    active[idx.size:] = False  # padding rays
 
     # Phase 2: exact fine render of the active rays only.
     act_local = np.flatnonzero(active)
     if act_local.size:
-        sub = idx[act_local]
-        padf = (-sub.size) % chunk
-        sub_p = np.concatenate([sub, np.full((padf,), sub[0], sub.dtype)])
-        z_p = np.concatenate([z_all[act_local], np.tile(z_all[act_local][:1], (padf, 1))])
+        padf = (-act_local.size) % chunk
+        act_p = np.concatenate(
+            [act_local, np.full((padf,), act_local[0], act_local.dtype)]
+        )
         outs = []
-        for s in range(0, sub_p.shape[0], chunk):
-            sl = sub_p[s : s + chunk]
+        for s in range(0, act_p.shape[0], chunk):
+            idx_tile = jnp.asarray(act_p[s : s + chunk].astype(np.int32))
             outs.append(fine(
-                decoder_params, planes,
-                jnp.asarray(rays_o[sl]), jnp.asarray(rays_d[sl]),
-                jnp.asarray(near[sl]), jnp.asarray(far[sl]),
-                jnp.asarray(z_p[s : s + chunk]), box, deform_args,
+                decoder_params, planes, ro_d, rd_d, nr_d, fr_d, z_all, idx_tile,
+                box, deform_args,
             ))
-        merged = {k: jnp.concatenate([o[k] for o in outs])[: sub.size] for k in outs[0]}
-        sub_j = jnp.asarray(sub)
-        full = {k: full[k].at[sub_j].set(merged[k].astype(full[k].dtype)) for k in full}
+        # Download only the compact results and scatter host-side.
+        dest = idx[act_local]
+        for k in full:
+            merged = np.concatenate(
+                [np.asarray(o[k]) for o in outs]
+            )[: act_local.size]
+            full[k][dest] = merged
     return full

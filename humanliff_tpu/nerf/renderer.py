@@ -234,6 +234,7 @@ def render_image_masked(
     deform_fn: Optional[DeformFn] = None,
     deform_args=None,
     bg_color: float = 0.0,
+    outputs: Tuple[str, ...] = ("rgb", "acc", "depth"),
 ) -> Dict[str, jnp.ndarray]:
     """Full-image render that computes ONLY the rays whose AABB test passed.
 
@@ -247,28 +248,34 @@ def render_image_masked(
     dense path at a fraction of the cost.
 
     ``mask`` is the host-side boolean mask from ``full_image_rays``. All other
-    args as in :func:`render_image_chunked`.
+    args as in :func:`render_image_chunked`. Returns HOST numpy arrays.
+
+    Data-movement note (tunneled TPU: host<->device runs at a few MB/s): the
+    compacted rays upload once, per-tile access slices the device arrays, and
+    only the compact per-ray results come back — scattered host-side.
     """
     import numpy as np
 
-    mask = np.asarray(mask).reshape(-1)
+    mask = np.asarray(mask).reshape(-1).astype(bool)
     N = mask.shape[0]
+    full = {
+        "rgb": np.full((N, 3), bg_color, np.float32),
+        "acc": np.zeros((N,), np.float32),
+        "depth": np.zeros((N,), np.float32),
+    }
+    full = {k: full[k] for k in outputs}
     idx = np.flatnonzero(mask)
     n = idx.shape[0]
     if n == 0:
-        zero = jnp.full((N, 3), bg_color, jnp.float32)
-        return {
-            "rgb": zero,
-            "acc": jnp.zeros((N,), jnp.float32),
-            "depth": jnp.zeros((N,), jnp.float32),
-        }
+        return full
     pad = (-n) % chunk
     idx_p = np.concatenate([idx, np.full((pad,), idx[0], idx.dtype)])
 
-    rays_o = np.asarray(rays_o)[idx_p]
-    rays_d = np.asarray(rays_d)[idx_p]
-    near = np.asarray(near)[idx_p]
-    far = np.asarray(far)[idx_p]
+    ro_d = jnp.asarray(np.ascontiguousarray(np.asarray(rays_o)[idx_p], np.float32))
+    rd_d = jnp.asarray(np.ascontiguousarray(np.asarray(rays_d)[idx_p], np.float32))
+    nr_d = jnp.asarray(np.ascontiguousarray(np.asarray(near)[idx_p], np.float32))
+    fr_d = jnp.asarray(np.ascontiguousarray(np.asarray(far)[idx_p], np.float32))
+    box = jnp.asarray(np.asarray(box_warp, np.float32))
 
     eval_cfg = dataclasses.replace(cfg, perturb=False, density_noise=False)
     tile_fn = _masked_tile_fn(decoder, eval_cfg, deform_fn)
@@ -278,25 +285,16 @@ def render_image_masked(
         sl = slice(s, s + chunk)
         outs.append(
             tile_fn(
-                decoder_params,
-                planes,
-                jnp.asarray(rays_o[sl]),
-                jnp.asarray(rays_d[sl]),
-                jnp.asarray(near[sl]),
-                jnp.asarray(far[sl]),
-                jnp.asarray(box_warp),
-                deform_args,
+                decoder_params, planes,
+                ro_d[sl], rd_d[sl], nr_d[sl], fr_d[sl], box, deform_args,
             )
         )
-    merged = {k: jnp.concatenate([o[k] for o in outs])[:n] for k in outs[0]}
-
-    full = {
-        "rgb": jnp.full((N, 3), bg_color, merged["rgb"].dtype),
-        "acc": jnp.zeros((N,), merged["acc"].dtype),
-        "depth": jnp.zeros((N,), merged["depth"].dtype),
-    }
-    idx_j = jnp.asarray(idx)
-    return {k: full[k].at[idx_j].set(merged[k]) for k in full}
+    for k in full:
+        merged = np.concatenate(
+            [np.asarray(o[k], np.float32) for o in outs]
+        )[:n]
+        full[k][idx] = merged
+    return full
 
 
 def _masked_tile_fn(decoder, cfg: RenderConfig, deform_fn):

@@ -64,12 +64,28 @@ def sample_pdf(
     # ~128 so the mask is tiny relative to the feature gathers.
     inds = (cdf[..., None, :] <= u[..., :, None]).sum(axis=-1)
     below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_a = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    # One flat gather for all four interpolants. Four take_along_axis calls
+    # (batched-dim gathers — pathological on TPU, see ops/triplane.py) cost
+    # ~0.5 s per 512^2 view; packing [cdf_j, cdf_{j+1}, bins_j, bins_{j+1}]
+    # rows and gathering once from the flattened table is ~10x cheaper and
+    # bit-identical: above = min(below + 1, B-1) exactly reproduces the
+    # clamped cdf/bins lookups because inds >= 1 always (cdf[0] = 0 <= u).
+    B = cdf.shape[-1]  # == bins.shape[-1] given weights = bins-1 entries
+
+    def shift(x):  # x_{j+1} with the last entry clamped
+        return jnp.concatenate([x[..., 1:], x[..., -1:]], axis=-1)
+
+    packed = jnp.stack([cdf, shift(cdf), bins, shift(bins)], axis=-1)  # (..., B, 4)
+    lead = packed.shape[:-2]
+    flat = packed.reshape(-1, 4)
+    n_lead = 1
+    for d in lead:
+        n_lead *= d
+    row_base = (jnp.arange(n_lead, dtype=below.dtype) * B).reshape(lead)
+    rows = jnp.take(flat, (below + row_base[..., None]).reshape(-1), axis=0)
+    rows = rows.reshape(*below.shape, 4)
+    cdf_b, cdf_a, bins_b, bins_a = (rows[..., i] for i in range(4))
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -29,7 +29,7 @@ def _setup(D=32, R=128, seed=0):
 
 def test_grid_exact_at_lattice_points():
     decoder, params, planes, *_ , box = _setup()
-    grid = build_density_grid(decoder, params, planes, box, resolution=8, chunk=256)
+    grid = build_density_grid(decoder, params, planes, box, resolution=8)
     # Query exactly at lattice nodes: trilinear == direct decoder density.
     lin = [np.linspace(box[0, d], box[1, d], 9, dtype=np.float32) for d in range(3)]
     pts = np.stack(np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)[::7]
@@ -51,7 +51,7 @@ def test_fast_render_close_to_exact():
         decoder, params, planes, ro, rd, near, far, mask, jnp.asarray(box), cfg,
         chunk=64,
     )
-    grid = build_density_grid(decoder, params, planes, box, resolution=48, chunk=4096)
+    grid = build_density_grid(decoder, params, planes, box, resolution=48)
     fast = render_image_fast(
         decoder, params, planes, grid, ro, rd, near, far, mask, box, cfg,
         chunk=64, early_term_eps=-1.0,  # keep every ray: isolate z-placement error
@@ -71,7 +71,7 @@ def test_fast_render_terminates_empty_rays():
     cfg = RenderConfig(n_samples=16, n_importance=16, perturb=False,
                        density_noise=False)
     mask = np.ones(ro.shape[0], bool)
-    grid = build_density_grid(decoder, params, planes, box, resolution=16, chunk=4096)
+    grid = build_density_grid(decoder, params, planes, box, resolution=16)
     out = render_image_fast(
         decoder, params, planes, grid, ro, rd, near, far, mask, box, cfg,
         chunk=64, early_term_eps=1e-2, bg_color=0.5,
@@ -86,7 +86,7 @@ def test_fast_render_respects_ray_mask():
                        density_noise=False)
     rng = np.random.default_rng(1)
     mask = rng.uniform(size=(ro.shape[0],)) < 0.5
-    grid = build_density_grid(decoder, params, planes, box, resolution=16, chunk=4096)
+    grid = build_density_grid(decoder, params, planes, box, resolution=16)
     out = render_image_fast(
         decoder, params, planes, grid, ro, rd, near, far, mask, box, cfg,
         chunk=64, early_term_eps=-1.0, bg_color=0.25,
