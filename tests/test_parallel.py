@@ -200,3 +200,25 @@ def test_zero_sharded_stage2_matches_replicated():
         if getattr(l, "ndim", 0) >= 1 and max(l.shape) % 8 == 0 and max(l.shape) >= 8
     ]
     assert big_ema and all(not l.sharding.is_fully_replicated for l in big_ema)
+
+
+def test_initialize_multihost_gating(monkeypatch):
+    """The multihost init (the reference's setup_dist, dist_util.py:52-62) only
+    fires when coordinator env/kwargs are present — single-process is a no-op."""
+    from humanliff_tpu.parallel.mesh import initialize_multihost
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.append(kw))
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    initialize_multihost()
+    assert calls == []
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:9999")
+    initialize_multihost()
+    assert len(calls) == 1
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    initialize_multihost(coordinator_address="127.0.0.1:9999", num_processes=2,
+                         process_id=0)
+    assert len(calls) == 2 and calls[1]["num_processes"] == 2
