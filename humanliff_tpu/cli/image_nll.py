@@ -26,6 +26,8 @@ def main(argv=None):
     p = build_parser()
     p.add_argument("--data_npz", type=str, default=None,
                    help="npz of (N, H, W, C) images to evaluate; default random")
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="image folder to evaluate (reference image_nll data_dir)")
     args = p.parse_args(argv)
 
     model, diffusion = create_model_and_diffusion(
@@ -38,6 +40,14 @@ def main(argv=None):
     if args.data_npz:
         with np.load(args.data_npz) as z:
             data = z[z.files[0]].astype(np.float32)
+    elif args.data_dir:
+        # Reference image_nll.py:38 evaluates a real image folder
+        # (deterministic order) via image_datasets.load_data.
+        from humanliff_tpu.data.image_folder import ImageFolderDataset
+
+        ds = ImageFolderDataset(args.data_dir, S)
+        n = min(len(ds), args.num_samples)
+        data = np.stack([ds.item(i)[0] for i in range(n)])
     else:
         data = np.random.default_rng(0).normal(
             scale=0.3, size=(args.num_samples, S, S, C)

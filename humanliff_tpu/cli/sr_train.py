@@ -119,11 +119,25 @@ def main(argv=None):
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=opt, ema_params=ema), loss
 
+    if args.data_dir != "synthetic" and os.path.isdir(args.data_dir):
+        # Real (high, low) pairs from an image folder: the reference's
+        # load_superres_data (super_res_train.py:64 + image_datasets.py).
+        from humanliff_tpu.data.image_folder import area_downsample, load_image_data
+
+        batches = load_image_data(args.data_dir, args.batch_size, S, seed=args.seed)
+
+        def next_pair():
+            x = next(batches)["x"]
+            return x, area_downsample(x, s)
+    else:
+        def next_pair():
+            hi = rng.normal(scale=0.4, size=(args.batch_size, S, S, C)).astype(np.float32)
+            return hi, hi[:, ::S // s, ::S // s]
+
     key = jax.random.key(args.seed + 1)
     t0 = time.time()
     for i in range(args.total_steps):
-        hi = rng.normal(scale=0.4, size=(args.batch_size, S, S, C)).astype(np.float32)
-        lo = hi[:, ::S // s, ::S // s]
+        hi, lo = next_pair()
         key, sub = jax.random.split(key)
         state, loss = step_fn(state, jnp.asarray(hi), jnp.asarray(lo), sub)
         log.logkv_mean("loss", float(loss))
