@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument(f"--{k}", type=(lambda s: s.lower() == "true") if t is bool else t,
                        default=v)
     p.add_argument("--data_dir", type=str, default="synthetic")
+    p.add_argument("--data_name", type=str, default="triplane",
+                   help="'imagenet' trains on a plain image folder "
+                        "(reference image_train.py:54-60); default: packed "
+                        "tri-planes (or 'synthetic' random planes)")
     p.add_argument("--logdir", type=str, default="./logs/diffusion")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--microbatch", type=int, default=0)
@@ -125,6 +129,22 @@ def main(argv=None):
             return {"x": x, "x_cond": np.zeros_like(x), "y": y}
 
         batches = iter(next_batch, None)
+    elif args.data_name == "imagenet":
+        # Plain image-folder training (reference image_train.py:54-60).
+        from humanliff_tpu.data.image_folder import load_image_data
+
+        images = load_image_data(
+            args.data_dir, args.batch_size, S, class_cond=args.class_cond,
+            seed=args.seed,
+        )
+
+        def next_image_batch():
+            b = next(images)
+            b.setdefault("y", np.zeros((args.batch_size,), np.int32))
+            b["x_cond"] = np.zeros_like(b["x"])
+            return b
+
+        batches = iter(next_image_batch, None)
     else:
         from humanliff_tpu.data.loader import BatchLoader
         from humanliff_tpu.data.triplane_data import TriplaneDataset
