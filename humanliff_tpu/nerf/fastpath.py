@@ -242,11 +242,17 @@ def render_image_fast(
     early_term_eps: float = 1e-2,
     bg_color: float = 0.0,
     outputs=("rgb", "acc", "depth"),
+    max_rays_in_flight: int = 1 << 21,
 ) -> Dict[str, np.ndarray]:
     """Full-image render: masked rays -> grid coarse pass -> fine pass on the
     non-empty rays only. Returns HOST numpy arrays in the same layout as
     render_image_masked (rgb (N, 3), acc (N,), depth (N,)). Restrict
-    ``outputs`` to what you need — every extra map is a tunnel download."""
+    ``outputs`` to what you need — every extra map is a tunnel download.
+
+    Arbitrarily many rays are accepted (e.g. 40 views concatenated):
+    ``max_rays_in_flight`` bounds the device-resident per-ray z storage
+    (rays x (n_samples + n_importance) x 4 B — 2M rays ~ 2.1 GB at 128+128),
+    processing super-groups of rays through both phases and freeing between."""
     mask = np.asarray(mask).reshape(-1).astype(bool)
     N = mask.shape[0]
     full = {
@@ -255,57 +261,68 @@ def render_image_fast(
         "depth": np.zeros((N,), np.float32),
     }
     full = {k: full[k] for k in outputs}
-    idx = np.flatnonzero(mask)
-    if idx.size == 0:
+    idx_all = np.flatnonzero(mask)
+    if idx_all.size == 0:
         return full
 
     box = jnp.asarray(np.asarray(box_warp, np.float32))
-    pad = (-idx.size) % chunk
-    idx_p = np.concatenate([idx, np.full((pad,), idx[0], idx.dtype)])
-    # Upload the compacted rays ONCE; all later per-tile access slices/gathers
-    # these device arrays (no further host->device traffic).
-    ro_d = jnp.asarray(np.ascontiguousarray(np.asarray(rays_o)[idx_p], np.float32))
-    rd_d = jnp.asarray(np.ascontiguousarray(np.asarray(rays_d)[idx_p], np.float32))
-    nr_d = jnp.asarray(np.ascontiguousarray(np.asarray(near)[idx_p], np.float32))
-    fr_d = jnp.asarray(np.ascontiguousarray(np.asarray(far)[idx_p], np.float32))
+    rays_o = np.asarray(rays_o)
+    rays_d = np.asarray(rays_d)
+    near = np.asarray(near)
+    far = np.asarray(far)
 
     eval_cfg = dataclasses.replace(cfg, perturb=False, density_noise=False)
     coarse = _coarse_tile_fn(eval_cfg, deform_fn, early_term_eps, grid.resolution)
     fine = _fine_tile_fn(decoder, eval_cfg, deform_fn)
 
-    # Phase 1: coarse placement + empty-ray detection. z tiles stay on device.
-    z_tiles, active_tiles = [], []
-    for s in range(0, idx_p.shape[0], chunk):
-        sl = slice(s, s + chunk)
-        z_t, a_t = coarse(
-            grid.table, ro_d[sl], rd_d[sl], nr_d[sl], fr_d[sl], box, deform_args
-        )
-        z_tiles.append(z_t)
-        active_tiles.append(a_t)
-    z_all = jnp.concatenate(z_tiles)  # device-resident (Np, S)
-    # Only the bitmap crosses the tunnel (Np bools).
-    active = np.concatenate([np.asarray(a) for a in active_tiles])
-    active[idx.size:] = False  # padding rays
+    group = max(chunk, (max_rays_in_flight // chunk) * chunk)
+    for g0 in range(0, idx_all.size, group):
+        idx = idx_all[g0 : g0 + group]
+        pad = (-idx.size) % chunk
+        idx_p = np.concatenate([idx, np.full((pad,), idx[0], idx.dtype)])
+        # Upload this group's compacted rays ONCE; later per-tile access
+        # slices/gathers the device arrays (no further host->device traffic).
+        ro_d = jnp.asarray(np.ascontiguousarray(rays_o[idx_p], np.float32))
+        rd_d = jnp.asarray(np.ascontiguousarray(rays_d[idx_p], np.float32))
+        nr_d = jnp.asarray(np.ascontiguousarray(near[idx_p], np.float32))
+        fr_d = jnp.asarray(np.ascontiguousarray(far[idx_p], np.float32))
 
-    # Phase 2: exact fine render of the active rays only.
-    act_local = np.flatnonzero(active)
-    if act_local.size:
-        padf = (-act_local.size) % chunk
-        act_p = np.concatenate(
-            [act_local, np.full((padf,), act_local[0], act_local.dtype)]
-        )
-        outs = []
-        for s in range(0, act_p.shape[0], chunk):
-            idx_tile = jnp.asarray(act_p[s : s + chunk].astype(np.int32))
-            outs.append(fine(
-                decoder_params, planes, ro_d, rd_d, nr_d, fr_d, z_all, idx_tile,
-                box, deform_args,
-            ))
-        # Download only the compact results and scatter host-side.
-        dest = idx[act_local]
-        for k in full:
-            merged = np.concatenate(
-                [np.asarray(o[k]) for o in outs]
-            )[: act_local.size]
-            full[k][dest] = merged
+        # Phase 1: coarse placement + empty-ray detection. z stays on device.
+        z_tiles, active_tiles = [], []
+        for s in range(0, idx_p.shape[0], chunk):
+            sl = slice(s, s + chunk)
+            z_t, a_t = coarse(
+                grid.table, ro_d[sl], rd_d[sl], nr_d[sl], fr_d[sl], box,
+                deform_args,
+            )
+            z_tiles.append(z_t)
+            active_tiles.append(a_t)
+        z_all = jnp.concatenate(z_tiles)  # device-resident (group, S)
+        del z_tiles
+        # Only the bitmap crosses the tunnel (group-many bools).
+        active = np.concatenate([np.asarray(a) for a in active_tiles])
+        active[idx.size:] = False  # padding rays
+
+        # Phase 2: exact fine render of the active rays only.
+        act_local = np.flatnonzero(active)
+        if act_local.size:
+            padf = (-act_local.size) % chunk
+            act_p = np.concatenate(
+                [act_local, np.full((padf,), act_local[0], act_local.dtype)]
+            )
+            outs = []
+            for s in range(0, act_p.shape[0], chunk):
+                idx_tile = jnp.asarray(act_p[s : s + chunk].astype(np.int32))
+                outs.append(fine(
+                    decoder_params, planes, ro_d, rd_d, nr_d, fr_d, z_all,
+                    idx_tile, box, deform_args,
+                ))
+            # Download only the compact results and scatter host-side.
+            dest = idx[act_local]
+            for k in full:
+                merged = np.concatenate(
+                    [np.asarray(o[k]) for o in outs]
+                )[: act_local.size]
+                full[k][dest] = merged
+        del z_all, ro_d, rd_d, nr_d, fr_d
     return full
