@@ -83,6 +83,20 @@ def _load_ema_params(args):
     return ema
 
 
+_DEFORM_CACHE = {}
+
+
+def _cached_deform_fn(smpl_model_path: str):
+    fn = _DEFORM_CACHE.get(smpl_model_path)
+    if fn is None:
+        from humanliff_tpu.bodymodel.canonical import make_eval_deform_fn
+        from humanliff_tpu.bodymodel.smpl import load_body_model
+
+        fn = make_eval_deform_fn(load_body_model(smpl_model_path))
+        _DEFORM_CACHE[smpl_model_path] = fn
+    return fn
+
+
 def _decode_views(args, layer_idx: int):
     """Yield per-view render inputs (dicts) from the chosen camera/bounds source.
 
@@ -163,11 +177,10 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
     deform_fn = None
     if args.view_dataset == "tightcap":
         # Canonical-space decode: render through inverse-LBS with big-pose
-        # bounds (TightCapView semantics; all_test.py:231-327).
-        from humanliff_tpu.bodymodel.canonical import make_eval_deform_fn
-        from humanliff_tpu.bodymodel.smpl import load_body_model
-
-        deform_fn = make_eval_deform_fn(load_body_model(args.smpl_model_path))
+        # bounds (TightCapView semantics; all_test.py:231-327). Cached across
+        # layers — the fastpath/renderer jit caches key on id(deform_fn), so a
+        # fresh closure per layer would recompile every render program.
+        deform_fn = _cached_deform_fn(args.smpl_model_path)
 
     view_items = list(_decode_views(args, layer_idx))
     S = args.render_size

@@ -120,16 +120,12 @@ def main(argv=None):
         state = replicate(state, mesh)
         step_fn = lambda s, b, k: train_step(s, b, k, model, diffusion, cfg)
 
-    if args.data_dir == "synthetic":
-        rng = np.random.default_rng(args.seed)
-
-        def next_batch():
-            x = rng.normal(scale=0.4, size=(args.batch_size, S, S, C)).astype(np.float32)
-            y = rng.integers(0, 4, size=(args.batch_size,)).astype(np.int32)
-            return {"x": x, "x_cond": np.zeros_like(x), "y": y}
-
-        batches = iter(next_batch, None)
-    elif args.data_name == "imagenet":
+    if args.data_name == "imagenet":
+        if not os.path.isdir(args.data_dir):
+            raise ValueError(
+                f"--data_name imagenet needs --data_dir pointing at an image "
+                f"folder (got {args.data_dir!r})"
+            )
         # Plain image-folder training (reference image_train.py:54-60).
         from humanliff_tpu.data.image_folder import load_image_data
 
@@ -145,6 +141,15 @@ def main(argv=None):
             return b
 
         batches = iter(next_image_batch, None)
+    elif args.data_dir == "synthetic":
+        rng = np.random.default_rng(args.seed)
+
+        def next_batch():
+            x = rng.normal(scale=0.4, size=(args.batch_size, S, S, C)).astype(np.float32)
+            y = rng.integers(0, 4, size=(args.batch_size,)).astype(np.int32)
+            return {"x": x, "x_cond": np.zeros_like(x), "y": y}
+
+        batches = iter(next_batch, None)
     else:
         from humanliff_tpu.data.loader import BatchLoader
         from humanliff_tpu.data.triplane_data import TriplaneDataset

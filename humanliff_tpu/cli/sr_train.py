@@ -119,7 +119,9 @@ def main(argv=None):
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=opt, ema_params=ema), loss
 
-    if args.data_dir != "synthetic" and os.path.isdir(args.data_dir):
+    if args.data_dir != "synthetic" and not os.path.isdir(args.data_dir):
+        raise ValueError(f"--data_dir {args.data_dir!r} is not a directory")
+    if args.data_dir != "synthetic":
         # Real (high, low) pairs from an image folder: the reference's
         # load_superres_data (super_res_train.py:64 + image_datasets.py).
         from humanliff_tpu.data.image_folder import area_downsample, load_image_data

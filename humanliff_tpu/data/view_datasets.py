@@ -121,8 +121,42 @@ class _PackedPlanes:
         return x, cond
 
 
+class _ViewDatasetBase:
+    """Shared novel-view item logic: index decomposition over (subject, pose,
+    view), base-dataset delegation, and GT-plane pair attachment. Subclasses
+    set ``self._base`` (a stage-1 dataset in split='test') and ``self._planes``
+    in ``__post_init__``."""
+
+    def __len__(self) -> int:
+        return self.num_instances * self.pose_num * len(self.output_views)
+
+    def _decompose(self, index: int):
+        nv = len(self.output_views)
+        s = index // (self.pose_num * nv)
+        pose_slot = (index // nv) % self.pose_num
+        view = self.output_views[index % nv]
+        layer = 0 if self.layer_idx is None else int(self.layer_idx)
+        return s, layer, pose_slot, view
+
+    def item(self, index: int, rng=None) -> Dict[str, np.ndarray]:
+        s, layer, pose_slot, view = self._decompose(index)
+        b = self._base
+        base_index = (
+            (s * b.num_layers + layer) * b.poses_num + pose_slot
+        ) * b.views_num + view
+        out = b.item(base_index)
+        x, x_cond = self._planes.pair(s, layer)
+        if x is not None:
+            out["x"] = x
+            out["x_cond"] = x_cond
+        out["y"] = np.int32(layer)
+        out["view_index"] = np.int32(view)
+        out["t_world_bounds"] = self.t_world_bounds
+        return out
+
+
 @dataclass
-class SynBodyViewDataset:
+class SynBodyViewDataset(_ViewDatasetBase):
     """Full-fidelity novel-view items for decoding generated SynBody planes.
 
     Per item (SynBodyView_datasets.py:215-308): full-image rays against the
@@ -161,36 +195,10 @@ class SynBodyViewDataset:
         self.t_world_bounds = self._base.t_world_bounds
         self.t_vertices = self._base.t_vertices
 
-    def __len__(self) -> int:
-        return self.num_instances * self.pose_num * len(self.output_views)
-
-    def _decompose(self, index: int):
-        nv = len(self.output_views)
-        s = index // (self.pose_num * nv)
-        pose_slot = (index // nv) % self.pose_num
-        view = self.output_views[index % nv]
-        layer = 0 if self.layer_idx is None else int(self.layer_idx)
-        return s, layer, pose_slot, view
-
-    def item(self, index: int, rng=None) -> Dict[str, np.ndarray]:
-        s, layer, pose_slot, view = self._decompose(index)
-        b = self._base
-        base_index = (
-            (s * b.num_layers + layer) * b.poses_num + pose_slot
-        ) * b.views_num + view
-        out = b.item(base_index)
-        x, x_cond = self._planes.pair(s, layer)
-        if x is not None:
-            out["x"] = x
-            out["x_cond"] = x_cond
-        out["y"] = np.int32(layer)
-        out["view_index"] = np.int32(view)
-        out["t_world_bounds"] = self.t_world_bounds
-        return out
 
 
 @dataclass
-class TightCapViewDataset:
+class TightCapViewDataset(_ViewDatasetBase):
     """Full-fidelity novel-view items for decoding generated TightCap planes.
 
     Canonical-space rendering (TightCapView_datasets.py:34-37, :208-360): items
@@ -229,29 +237,3 @@ class TightCapViewDataset:
         self.t_world_bounds = self._base.t_world_bounds
         self.t_vertices = self._base.t_vertices
 
-    def __len__(self) -> int:
-        return self.num_instances * self.pose_num * len(self.output_views)
-
-    def _decompose(self, index: int):
-        nv = len(self.output_views)
-        s = index // (self.pose_num * nv)
-        pose_slot = (index // nv) % self.pose_num
-        view = self.output_views[index % nv]
-        layer = 0 if self.layer_idx is None else int(self.layer_idx)
-        return s, layer, pose_slot, view
-
-    def item(self, index: int, rng=None) -> Dict[str, np.ndarray]:
-        s, layer, pose_slot, view = self._decompose(index)
-        b = self._base
-        base_index = (
-            (s * b.num_layers + layer) * b.poses_num + pose_slot
-        ) * b.views_num + view
-        out = b.item(base_index)
-        x, x_cond = self._planes.pair(s, layer)
-        if x is not None:
-            out["x"] = x
-            out["x_cond"] = x_cond
-        out["y"] = np.int32(layer)
-        out["view_index"] = np.int32(view)
-        out["t_world_bounds"] = self.t_world_bounds
-        return out

@@ -91,10 +91,18 @@ def lpips_distance(
     return total
 
 
+_WEIGHT_CACHE: Dict[str, Dict[str, jnp.ndarray]] = {}
+
+
 def load_weights(path: str) -> Dict[str, jnp.ndarray]:
-    """Load the npz written by ``compat/lpips_import.py``."""
-    raw = np.load(path)
-    return {k: jnp.asarray(raw[k]) for k in raw.files}
+    """Load the npz written by ``compat/lpips_import.py`` (cached per path —
+    eval loops re-instantiate lpips_fn per subject/layer)."""
+    cached = _WEIGHT_CACHE.get(path)
+    if cached is None:
+        raw = np.load(path)
+        cached = {k: jnp.asarray(raw[k]) for k in raw.files}
+        _WEIGHT_CACHE[path] = cached
+    return cached
 
 
 def default_weights_path() -> Optional[str]:
@@ -117,13 +125,18 @@ def make_lpips(path: Optional[str] = None):
         return None
     params = load_weights(path)
 
-    @jax.jit
-    def _dist(a, b):
-        return lpips_distance(params, a, b)[0]
-
+    # Params are a jit ARGUMENT: closing over the ~59 MB VGG tree would embed
+    # it as HLO constants (catastrophic remote-compile stalls — CLAUDE.md).
+    # One compilation per distinct crop shape; the jit cache is shared across
+    # make_lpips() instances via the module-level function.
     def compute(a: np.ndarray, b: np.ndarray) -> float:
         ta = jnp.asarray(a, jnp.float32)[None] * 2.0 - 1.0
         tb = jnp.asarray(b, jnp.float32)[None] * 2.0 - 1.0
-        return float(_dist(ta, tb))
+        return float(_dist_jit(params, ta, tb))
 
     return compute
+
+
+@jax.jit
+def _dist_jit(params, a, b):
+    return lpips_distance(params, a, b)[0]

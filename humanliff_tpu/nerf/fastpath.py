@@ -243,6 +243,7 @@ def render_image_fast(
     bg_color: float = 0.0,
     outputs=("rgb", "acc", "depth"),
     max_rays_in_flight: int = 1 << 21,
+    coarse_chunk: int = 1 << 18,
 ) -> Dict[str, np.ndarray]:
     """Full-image render: masked rays -> grid coarse pass -> fine pass on the
     non-empty rays only. Returns HOST numpy arrays in the same layout as
@@ -288,9 +289,17 @@ def render_image_fast(
         fr_d = jnp.asarray(np.ascontiguousarray(far[idx_p], np.float32))
 
         # Phase 1: coarse placement + empty-ray detection. z stays on device.
+        # Much larger tiles than phase 2: per-tile dispatch + small-shape
+        # overhead made 16K-ray coarse tiles 2.7x slower than one 262K call.
+        cc = max(chunk, (coarse_chunk // chunk) * chunk)
         z_tiles, active_tiles = [], []
-        for s in range(0, idx_p.shape[0], chunk):
-            sl = slice(s, s + chunk)
+        # Big tiles + a 16K-tile remainder: exactly two compiled shapes, no
+        # per-view ragged-shape recompiles.
+        n_big = (idx_p.shape[0] // cc) * cc
+        spans = [(s, cc) for s in range(0, n_big, cc)]
+        spans += [(s, chunk) for s in range(n_big, idx_p.shape[0], chunk)]
+        for s, width in spans:
+            sl = slice(s, s + width)
             z_t, a_t = coarse(
                 grid.table, ro_d[sl], rd_d[sl], nr_d[sl], fr_d[sl], box,
                 deform_args,
