@@ -8,6 +8,7 @@ extra expression blendshapes — both are just different array shapes here.
 
 from __future__ import annotations
 
+import os
 import pickle
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -148,13 +149,21 @@ def lbs_forward(
     return verts, posed_joints
 
 
+_MODEL_CACHE: dict = {}
+
+
 def load_body_model(path: str) -> BodyModel:
     """Load a SMPL/SMPL-X model file into arrays.
 
     Supports the SMPL pickle format (latin1, renderer.py:352-371) and the smplx
     ``.npz`` distribution format (SMPLX_{GENDER}.npz, used by the vendored smplx
-    with ext='npz', SynBody_dataset.py:85-99).
+    with ext='npz', SynBody_dataset.py:85-99). Cached per absolute path — the
+    decode/eval loops construct datasets per layer and the model is immutable.
     """
+    cache_key = os.path.abspath(path)
+    cached = _MODEL_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     if path.endswith(".npz"):
         data = dict(np.load(path, allow_pickle=True))
     else:
@@ -177,7 +186,7 @@ def load_body_model(path: str) -> BodyModel:
         expr_dirs = shapedirs[..., 300:310]
         shapedirs = shapedirs[..., :300]
 
-    return BodyModel(
+    model = BodyModel(
         v_template=np.asarray(data["v_template"], np.float32),
         shapedirs=shapedirs,
         posedirs=posedirs,
@@ -187,3 +196,5 @@ def load_body_model(path: str) -> BodyModel:
         expr_dirs=expr_dirs,
         faces=np.asarray(data["f"], np.int32) if "f" in data else None,
     )
+    _MODEL_CACHE[cache_key] = model
+    return model

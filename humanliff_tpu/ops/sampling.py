@@ -74,7 +74,12 @@ def sample_pdf(
     V = jnp.stack([cdf, shift(cdf), bins, shift(bins)], axis=-1)  # (..., B, 4)
     dV = jnp.diff(V, axis=-2, prepend=jnp.zeros_like(V[..., :1, :]))
     leq = (cdf[..., None, :] <= u[..., :, None]).astype(cdf.dtype)  # (..., S, B)
-    out = jnp.einsum("...sb,...bk->...sk", leq, dV)
+    # HIGHEST precision is load-bearing: TPU's default matmul truncates fp32
+    # operands to bf16, which moves fine-sample depths by more than a bin width
+    # (invisible on the CPU test mesh). K=127/N=4 — the fp32 pass costs nothing.
+    out = jnp.einsum(
+        "...sb,...bk->...sk", leq, dV, precision=jax.lax.Precision.HIGHEST
+    )
     cdf_b, cdf_a, bins_b, bins_a = (out[..., i] for i in range(4))
 
     denom = cdf_a - cdf_b

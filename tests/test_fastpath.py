@@ -93,3 +93,25 @@ def test_fast_render_respects_ray_mask():
     )
     np.testing.assert_array_equal(np.asarray(out["rgb"])[~mask], 0.25)
     assert np.any(np.asarray(out["rgb"])[mask] != 0.25)
+
+
+def test_fast_render_big_coarse_tiles_match_small():
+    """The two-shape coarse tiling (big tiles + 16K-tile remainder) must agree
+    with all-small-tile rendering — exercises the n_big > 0 branch the default
+    coarse_chunk never hits at test scale."""
+    decoder, params, planes, ro, rd, near, far, box = _setup(R=160)
+    cfg = RenderConfig(n_samples=8, n_importance=8, perturb=False,
+                       density_noise=False)
+    mask = np.ones(160, bool)
+    grid = build_density_grid(decoder, params, planes, box, resolution=16)
+    small = render_image_fast(
+        decoder, params, planes, grid, ro, rd, near, far, mask, box, cfg,
+        chunk=16, early_term_eps=-1.0, coarse_chunk=16,
+    )
+    # coarse_chunk=64 -> n_big = 128 (two big tiles) + 32 remainder in 16s.
+    big = render_image_fast(
+        decoder, params, planes, grid, ro, rd, near, far, mask, box, cfg,
+        chunk=16, early_term_eps=-1.0, coarse_chunk=64,
+    )
+    np.testing.assert_allclose(big["rgb"], small["rgb"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(big["acc"], small["acc"], rtol=1e-5, atol=1e-6)
