@@ -47,6 +47,11 @@ def build_parser():
     p.add_argument("--sample_npz", type=str, default=None,
                    help="previous layer's samples npz (x_cond)")
     p.add_argument("--use_ddim", type=lambda s: s.lower() == "true", default=False)
+    p.add_argument("--parallel_window", type=int, default=0,
+                   help="sliding-window Picard sampling width (0 = sequential "
+                        "reference chain); pays off when sharded over a "
+                        "multi-chip mesh (sampling/parallel.py)")
+    p.add_argument("--parallel_tol", type=float, default=5e-3)
     p.add_argument("--decode", action="store_true",
                    help="render novel views + mesh with the Stage-1 decoder")
     p.add_argument("--stage1_ckpt", type=str, default=None)
@@ -350,6 +355,7 @@ def main(argv=None):
         samples = generate_layer(
             model, params, diffusion, args.layer_idx, xc, sub,
             args.batch_size, S, C, use_ddim=args.use_ddim,
+            parallel_window=args.parallel_window, parallel_tol=args.parallel_tol,
         )
         outs.append(np.asarray(samples))
         done += args.batch_size

@@ -85,12 +85,30 @@ def generate_layer(
     use_ddim: bool = False,
     clip_denoised: bool = True,
     progress_fn: Optional[Callable[[int], None]] = None,
+    parallel_window: int = 0,
+    parallel_tol: float = 5e-3,
+    parallel_mesh=None,
 ) -> jnp.ndarray:
-    """Sample one layer's tri-planes: (B, H, W, C) in [-1, 1]."""
+    """Sample one layer's tri-planes: (B, H, W, C) in [-1, 1].
+
+    ``parallel_window > 0`` routes through the sliding-window Picard sampler
+    (sampling/parallel.py) — an opt-in accelerator whose payoff is sharding the
+    window across a multi-chip mesh; the default stays the reference-parity
+    sequential scan.
+    """
     shape = (batch_size, image_size, image_size, channels)
     if x_cond is None:
         x_cond = jnp.zeros(shape, jnp.float32)
     y = jnp.full((batch_size,), layer_idx, jnp.int32)
+    if parallel_window and not use_ddim:
+        from humanliff_tpu.sampling.parallel import parallel_p_sample_loop
+
+        samples, _ = parallel_p_sample_loop(
+            diffusion, model, params, shape, key, x_cond, y,
+            window=parallel_window, tol=parallel_tol,
+            clip_denoised=clip_denoised, mesh=parallel_mesh,
+        )
+        return samples
     return _sample_layer_jit(
         model, diffusion, params, x_cond, y, key, shape, use_ddim, clip_denoised
     )

@@ -1,0 +1,110 @@
+"""Sliding-window Picard sampler (sampling/parallel.py) vs the sequential chain."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from humanliff_tpu.diffusion.respace import create_diffusion
+from humanliff_tpu.models.unet import UNetModel
+from humanliff_tpu.sampling.parallel import parallel_p_sample_loop
+
+
+def _setup(T="8"):
+    model = UNetModel(
+        in_channels=6, model_channels=16, out_channels=6, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1, 2), num_classes=4,
+        num_heads=2, cond_type="controlnet",
+    )
+    diffusion = create_diffusion(steps=100, timestep_respacing=T)
+    object.__setattr__(diffusion, "channel_axis", -1)
+    x0 = jnp.zeros((1, 8, 8, 6))
+    params = model.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), x0, jnp.zeros((1,), jnp.int32)
+    )
+    return model, diffusion, params
+
+
+def _sequential_foldin(diffusion, model, params, shape, key, x_cond, y):
+    """Reference chain using the SAME fold_in(key, t) noise schedule."""
+    k_init, k_noise = jax.random.split(key)
+    x = jax.random.normal(k_init, shape)
+
+    def model_fn(xx, tt, xc, **kw):
+        return model.apply(params, xx, tt, xc, **kw)
+
+    for t_scalar in range(diffusion.num_timesteps - 1, -1, -1):
+        t = jnp.full((shape[0],), t_scalar, jnp.int32)
+        out = diffusion.p_mean_variance(model_fn, x, t, x_cond, True, {"y": y})
+        z = jax.random.normal(
+            jax.random.fold_in(k_noise, t_scalar), shape, x.dtype
+        )
+        nonzero = (t != 0).astype(x.dtype).reshape(-1, 1, 1, 1)
+        x = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * z
+    return x
+
+
+def test_parallel_tol_zero_matches_sequential():
+    model, diffusion, params = _setup()
+    shape = (2, 8, 8, 6)
+    key = jax.random.key(3)
+    x_cond = jnp.zeros(shape)
+    y = jnp.asarray([1, 2], jnp.int32)
+
+    want = _sequential_foldin(diffusion, model, params, shape, key, x_cond, y)
+    got, iters = parallel_p_sample_loop(
+        diffusion, model, params, shape, key, x_cond, y, window=4, tol=0.0,
+    )
+    # tol=0 accepts only the always-exact head: one step per iteration.
+    assert iters == diffusion.num_timesteps
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_parallel_loose_tol_close_and_fewer_iters():
+    model, diffusion, params = _setup(T="16")
+    shape = (1, 8, 8, 6)
+    key = jax.random.key(5)
+    x_cond = jnp.zeros(shape)
+    y = jnp.zeros((1,), jnp.int32)
+
+    want = _sequential_foldin(diffusion, model, params, shape, key, x_cond, y)
+    got, iters = parallel_p_sample_loop(
+        diffusion, model, params, shape, key, x_cond, y, window=8, tol=5e-2,
+    )
+    assert iters < diffusion.num_timesteps, iters
+    err = np.abs(np.asarray(got) - np.asarray(want)).mean()
+    scale = np.abs(np.asarray(want)).mean()
+    assert err / scale < 0.2, (err, scale, iters)
+
+
+def test_parallel_window_larger_than_chain():
+    model, diffusion, params = _setup(T="4")
+    shape = (1, 8, 8, 6)
+    got, iters = parallel_p_sample_loop(
+        diffusion, model, params, shape, jax.random.key(1), window=16, tol=0.0,
+    )
+    assert got.shape == shape and np.isfinite(np.asarray(got)).all()
+    assert iters == diffusion.num_timesteps
+
+
+def test_parallel_mesh_sharded_window_matches_single_device():
+    """Window slots sharded across the 8-device mesh == single-device result."""
+    from humanliff_tpu.parallel import make_mesh
+
+    model, diffusion, params = _setup(T="8")
+    shape = (1, 8, 8, 6)
+    key = jax.random.key(9)
+    x_cond = jnp.zeros(shape)
+    y = jnp.zeros((1,), jnp.int32)
+
+    ref, iters_ref = parallel_p_sample_loop(
+        diffusion, model, params, shape, key, x_cond, y, window=8, tol=0.0,
+    )
+    mesh = make_mesh(8)
+    got, iters = parallel_p_sample_loop(
+        diffusion, model, params, shape, key, x_cond, y, window=8, tol=0.0,
+        mesh=mesh,
+    )
+    assert iters == iters_ref
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
