@@ -78,36 +78,73 @@ def deform_to_canonical_batched(
     W = jnp.asarray(model.weights, jnp.float32)
     bweights = jnp.take(W, vert_ids.reshape(-1), axis=0).reshape(B, M, J)
 
-    A_pt = jnp.einsum("bmj,bjk->bmk", bweights, A.reshape(B, J, 16)).reshape(B, M, 4, 4)
-    can = query_pts - A_pt[..., :3, 3]
-    R_inv = _inv3x3(A_pt[..., :3, :3])
-    can = (R_inv @ can[..., None])[..., 0]
-    if query_dirs is not None:
-        query_dirs = (R_inv @ query_dirs[..., None])[..., 0]
+    # All per-point 3x3/4x4 algebra below runs on COMPONENT (B, M) arrays: a
+    # (B, M, 3, 3) tensor tiles (8, 128) on its last two axes — >100x lane
+    # padding at render scale — while per-component arrays use full lanes.
+    def mat16(A_j):  # blended per-point transform as 16 (B, M) components
+        flat = jnp.einsum("bmj,bjk->bmk", bweights, A_j.reshape(B, J, 16))
+        return [flat[..., i] for i in range(16)]
 
-    def gathered_offsets(offsets_bv3):  # (B, V, 3) -> (B, M, 3) via flat gather
+    def inv_apply(m, x, y, z):
+        """inv(R) @ [x, y, z] for R = [[m0 m1 m2], [m4 m5 m6], [m8 m9 m10]]
+        via the closed-form adjugate (same math as _inv3x3)."""
+        A_ = m[5] * m[10] - m[6] * m[9]
+        B_ = -(m[4] * m[10] - m[6] * m[8])
+        C_ = m[4] * m[9] - m[5] * m[8]
+        inv_det = 1.0 / (m[0] * A_ + m[1] * B_ + m[2] * C_)
+        nx = (A_ * x - (m[1] * m[10] - m[2] * m[9]) * y
+              + (m[1] * m[6] - m[2] * m[5]) * z) * inv_det
+        ny = (B_ * x + (m[0] * m[10] - m[2] * m[8]) * y
+              - (m[0] * m[6] - m[2] * m[4]) * z) * inv_det
+        nz = (C_ * x - (m[0] * m[9] - m[1] * m[8]) * y
+              + (m[0] * m[5] - m[1] * m[4]) * z) * inv_det
+        return nx, ny, nz
+
+    def fwd_apply(m, x, y, z):
+        """R @ [x, y, z] + t for the same layout (t = m3, m7, m11)."""
+        return (
+            m[0] * x + m[1] * y + m[2] * z + m[3],
+            m[4] * x + m[5] * y + m[6] * z + m[7],
+            m[8] * x + m[9] * y + m[10] * z + m[11],
+        )
+
+    m = mat16(A)
+    cx = query_pts[..., 0] - m[3]
+    cy = query_pts[..., 1] - m[7]
+    cz = query_pts[..., 2] - m[11]
+    cx, cy, cz = inv_apply(m, cx, cy, cz)
+    if query_dirs is not None:
+        dx, dy, dz = (query_dirs[..., i] for i in range(3))
+        dx, dy, dz = inv_apply(m, dx, dy, dz)
+
+    def gathered_offsets(offsets_bv3):  # (B, V, 3) -> three (B, M) components
         flat = offsets_bv3.reshape(B * V, 3)
         ids = vert_ids + (jnp.arange(B, dtype=jnp.int32) * V)[:, None]
-        return jnp.take(flat, ids.reshape(-1), axis=0).reshape(B, M, 3)
+        out = jnp.take(flat, ids.reshape(-1), axis=0).reshape(B, M, 3)
+        return out[..., 0], out[..., 1], out[..., 2]
 
     rot_mats = batch_rodrigues(poses.reshape(B, -1, 3))
-    can = can - gathered_offsets(_pose_offsets(model, rot_mats))
+    ox, oy, oz = gathered_offsets(_pose_offsets(model, rot_mats))
+    cx, cy, cz = cx - ox, cy - oy, cz - oz
 
     shapedirs = jnp.asarray(model.shapedirs, jnp.float32)
     shape_off = jnp.einsum("vdn,bn->bvd", shapedirs, betas)
-    can = can - gathered_offsets(shape_off)
+    ox, oy, oz = gathered_offsets(shape_off)
+    cx, cy, cz = cx - ox, cy - oy, cz - oz
 
     big_rot = batch_rodrigues(big_poses.reshape(B, -1, 3))
-    can = can + gathered_offsets(_pose_offsets(model, big_rot))
+    ox, oy, oz = gathered_offsets(_pose_offsets(model, big_rot))
+    cx, cy, cz = cx + ox, cy + oy, cz + oz
 
     A_big, _ = transform_params(model, big_poses, jnp.zeros_like(betas), expression)
-    A_pt = jnp.einsum("bmj,bjk->bmk", bweights, A_big.reshape(B, J, 16)).reshape(
-        B, M, 4, 4
-    )
-    can = (A_pt[..., :3, :3] @ can[..., None])[..., 0] + A_pt[..., :3, 3]
+    mb = mat16(A_big)
+    cx, cy, cz = fwd_apply(mb, cx, cy, cz)
+    can = jnp.stack([cx, cy, cz], axis=-1)
     if query_dirs is not None:
-        query_dirs = (A_pt[..., :3, :3] @ query_dirs[..., None])[..., 0]
-        return can, query_dirs
+        dx2 = mb[0] * dx + mb[1] * dy + mb[2] * dz
+        dy2 = mb[4] * dx + mb[5] * dy + mb[6] * dz
+        dz2 = mb[8] * dx + mb[9] * dy + mb[10] * dz
+        return can, jnp.stack([dx2, dy2, dz2], axis=-1)
     return can, None
 
 

@@ -153,3 +153,39 @@ def test_canonical_eval_render_through_harness():
         deform_fn=make_eval_deform_fn(model), deform_args_fn=deform_args_fn,
     )
     assert np.isfinite(agg["psnr"]) and np.isfinite(agg["ssim"])
+
+
+def test_batched_deform_matches_single_item():
+    """The component-wise batched inverse-LBS equals the (unchanged) single-item
+    matrix implementation — guards the lane-padding rewrite."""
+    from humanliff_tpu.bodymodel.canonical import (
+        deform_to_canonical,
+        deform_to_canonical_batched,
+    )
+
+    model = _synthetic_model(J=4, V=48)
+    J = model.num_joints
+    rng = np.random.default_rng(11)
+    B, M = 3, 57
+    poses = jnp.asarray(rng.normal(scale=0.3, size=(B, J * 3)).astype(np.float32))
+    betas = jnp.asarray(rng.normal(scale=0.5, size=(B, 5)).astype(np.float32))
+    t_poses = jnp.asarray(rng.normal(scale=0.1, size=(B, J * 3)).astype(np.float32))
+    verts, _ = lbs_forward(model, poses, betas)
+    pts = jnp.asarray(rng.normal(scale=0.5, size=(B, M, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(B, M, 3)).astype(np.float32))
+
+    got_p, got_d = deform_to_canonical_batched(
+        model, poses, betas, t_poses, verts, pts, dirs
+    )
+    # The batched path picks 1-NN with bf16 distances (MXU); near-ties may flip
+    # a neighbor vs the single-item fp32 path. Points whose neighbor agrees must
+    # match tightly; flipped-neighbor points must be rare.
+    for b in range(B):
+        want_p, want_d = deform_to_canonical(
+            model, poses[b], betas[b], t_poses[b], verts[b], pts[b], dirs[b]
+        )
+        dp = np.abs(np.asarray(got_p[b]) - np.asarray(want_p)).max(-1)
+        dd = np.abs(np.asarray(got_d[b]) - np.asarray(want_d)).max(-1)
+        agree = dp < 1e-4
+        assert agree.mean() > 0.95, agree.mean()
+        np.testing.assert_array_less(dd[agree], 1e-3)
