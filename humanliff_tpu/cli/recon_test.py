@@ -26,6 +26,10 @@ def main(argv=None):
     parser = cfglib.stage1_parser()
     parser.add_argument("--triplane_dir", type=str, default="./triplanes")
     parser.add_argument("--savedir", type=str, default=None)
+    parser.add_argument("--fast_eval", type=bool, default=False,
+                        help="density-grid fast render tier for eval views "
+                             "(nerf/fastpath.py); default keeps the exact "
+                             "reference hierarchy")
     args = cfglib.parse_with_config(parser, argv)
     args.train_split = "test"
 
@@ -83,6 +87,7 @@ def main(argv=None):
                 decoder, decoder_params, planes_all[layer], items, cfg,
                 savedir=savedir, tag=f"s{subj:04d}_l{layer}",
                 deform_fn=deform_fn, deform_args_fn=deform_args_fn,
+                fast=bool(getattr(args, "fast_eval", False)),
             )
             all_metrics[f"subject{subj}_layer{layer}"] = agg
             print(f"subject {subj} layer {layer}: {agg}")

@@ -41,6 +41,8 @@ def evaluate_views(
     deform_fn=None,
     deform_args_fn=None,
     tag: str = "subject",
+    fast: bool = False,
+    grid_resolution: int = 128,
 ) -> Dict[str, float]:
     """Render each full-image view item (from a dataset's split='test' path) and
     score it. Returns aggregated metrics.
@@ -48,21 +50,51 @@ def evaluate_views(
     Rendering computes only the ``ray_mask`` (mask_at_box) rays — the reference
     renders every pixel and zeroes the rest (all_test.py:178), so outputs match
     at a fraction of the cost. ``deform_fn`` enables TightCap canonical-space
-    eval; ``deform_args_fn(item)`` extracts its per-view traced SMPL args."""
+    eval; ``deform_args_fn(item)`` extracts its per-view traced SMPL args.
+    ``fast=True`` routes through the density-grid fast tier (nerf/fastpath.py —
+    one grid build amortized over the subject's views, empty rays terminated;
+    exact fine pass)."""
     if savedir:
         os.makedirs(savedir, exist_ok=True)
     lpips = lpips_fn()
+    grid = None
+    if fast and view_items:
+        from humanliff_tpu.nerf.fastpath import build_density_grid
+
+        grid = build_density_grid(
+            decoder, decoder_params, planes, view_items[0]["box_warp"],
+            resolution=grid_resolution,
+        )
+        grid_box = np.asarray(view_items[0]["box_warp"], np.float32)
     rows = []
     for vi, item in enumerate(view_items):
         H, W = (int(item["hw"][0]), int(item["hw"][1]))
         t0 = time.time()
-        out = render_image_masked(
-            decoder, decoder_params, planes,
-            item["rays_o"], item["rays_d"], item["near"], item["far"],
-            item["ray_mask"], item["box_warp"], cfg, chunk=chunk,
-            deform_fn=deform_fn,
-            deform_args=None if deform_args_fn is None else deform_args_fn(item),
-        )
+        dargs = None if deform_args_fn is None else deform_args_fn(item)
+        if grid is not None:
+            from humanliff_tpu.nerf.fastpath import (
+                build_density_grid as _bdg,
+                render_image_fast,
+            )
+
+            item_box = np.asarray(item["box_warp"], np.float32)
+            if not np.array_equal(item_box, grid_box):
+                grid = _bdg(decoder, decoder_params, planes, item_box,
+                            resolution=grid_resolution)
+                grid_box = item_box
+            out = render_image_fast(
+                decoder, decoder_params, planes, grid,
+                item["rays_o"], item["rays_d"], item["near"], item["far"],
+                item["ray_mask"], item_box, cfg, chunk=max(chunk, 4096),
+                deform_fn=deform_fn, deform_args=dargs,
+            )
+        else:
+            out = render_image_masked(
+                decoder, decoder_params, planes,
+                item["rays_o"], item["rays_d"], item["near"], item["far"],
+                item["ray_mask"], item["box_warp"], cfg, chunk=chunk,
+                deform_fn=deform_fn, deform_args=dargs,
+            )
         rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
         dt = time.time() - t0
         print(f"[eval {tag}] view {vi}: time per image {dt:.2f}s")

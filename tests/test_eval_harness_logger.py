@@ -73,3 +73,37 @@ def test_camera_orbit_fallback():
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
         center = -R.T @ T.ravel()
         np.testing.assert_allclose(np.linalg.norm(center), 3.0, atol=1e-5)
+
+
+def test_evaluate_views_fast_tier_close_to_exact():
+    """fast=True (grid coarse + termination) scores within tolerance of the
+    exact tier on the same items."""
+    import jax
+    import jax.numpy as jnp
+
+    from humanliff_tpu.eval.harness import evaluate_views
+    from humanliff_tpu.nerf.decoder import NeRFDecoder
+    from humanliff_tpu.nerf.renderer import RenderConfig
+
+    rng = np.random.default_rng(2)
+    H = W = 8
+    N = H * W
+    decoder = NeRFDecoder()
+    params = decoder.init(jax.random.key(0), jnp.zeros((1, 27)), jnp.zeros((1, 3)))
+    planes = jnp.asarray(rng.normal(scale=0.1, size=(3, 9, 16, 16)).astype(np.float32))
+    item = {
+        "hw": np.asarray([H, W]),
+        "rays_o": np.tile([[0, 0, 3.0]], (N, 1)).astype(np.float32),
+        "rays_d": (rng.normal(size=(N, 3)) * 0.2 + [0, 0, -1]).astype(np.float32),
+        "near": np.full((N,), 2.0, np.float32),
+        "far": np.full((N,), 4.0, np.float32),
+        "ray_mask": np.ones((N,), np.float32),
+        "box_warp": np.asarray([[-1.0] * 3, [1.0] * 3], np.float32),
+        "rgb": rng.uniform(size=(N, 3)).astype(np.float32),
+    }
+    cfg = RenderConfig(n_samples=16, n_importance=16, perturb=False,
+                       density_noise=False)
+    exact = evaluate_views(decoder, params, planes, [item], cfg, chunk=32)
+    fast = evaluate_views(decoder, params, planes, [item], cfg, chunk=32,
+                          fast=True, grid_resolution=32)
+    assert abs(fast["psnr"] - exact["psnr"]) < 1.0, (fast, exact)
