@@ -195,19 +195,15 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
 
     for si, sample in enumerate(samples_nhwc):
         planes = planes_image_to_triplane(jnp.asarray(sample, cast_dtype))
-        grid = None
-        grid_box = None
+        grids = None
         if args.fast_render:
-            # One grid per (sample, layer), reused across all views — the grid
-            # lives in the planes' own (canonical) space. Rebuilt below if a
-            # view carries different bounds.
-            from humanliff_tpu.nerf.fastpath import build_density_grid, render_image_fast
+            # One grid per (sample, layer), reused across all views (rebuilt if
+            # a view carries different bounds) — the grid lives in the planes'
+            # own (canonical) space.
+            from humanliff_tpu.nerf.fastpath import GridCache, render_image_fast
 
-            grid = build_density_grid(
-                decoder, decoder_params, planes, bounds,
-                resolution=args.grid_resolution,
-            )
-            grid_box = np.asarray(bounds, np.float32)
+            grids = GridCache(decoder, decoder_params, planes,
+                              resolution=args.grid_resolution)
         # Cross-view batching: when every view shares the box and there is no
         # per-view deform (SynBody/orbit), all views' rays render through ONE
         # call — full tiles instead of per-view padding/dispatch. The canonical
@@ -222,16 +218,16 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                            np.asarray(view_items[0]["box_warp"], np.float32))
             for it in view_items
         )
-        if grid is not None and deform_fn is None and same_box:
+        if grids is not None and deform_fn is None and same_box:
             cat = {
                 k: np.concatenate([np.asarray(it[k]) for it in view_items])
                 for k in ("rays_o", "rays_d", "near", "far", "ray_mask")
             }
+            box0 = np.asarray(view_items[0]["box_warp"], np.float32)
             out = render_image_fast(
-                decoder, decoder_params, planes, grid,
+                decoder, decoder_params, planes, grids.get(box0),
                 cat["rays_o"], cat["rays_d"], cat["near"], cat["far"],
-                cat["ray_mask"], np.asarray(view_items[0]["box_warp"], np.float32),
-                cfg, outputs=("rgb",),
+                cat["ray_mask"], box0, cfg, outputs=("rgb",),
             )
             rgb_views = np.split(
                 out["rgb"], np.cumsum([h * w for h, w in shapes])[:-1]
@@ -243,16 +239,10 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                 if deform_fn is not None:
                     dargs = {k: item[k] for k in
                              ("poses", "betas", "t_poses", "R", "Th", "smpl_verts")}
-                if grid is not None:
+                if grids is not None:
                     item_box = np.asarray(item["box_warp"], np.float32)
-                    if not np.array_equal(item_box, grid_box):
-                        grid = build_density_grid(
-                            decoder, decoder_params, planes, item_box,
-                            resolution=args.grid_resolution,
-                        )
-                        grid_box = item_box
                     out = render_image_fast(
-                        decoder, decoder_params, planes, grid,
+                        decoder, decoder_params, planes, grids.get(item_box),
                         item["rays_o"], item["rays_d"], item["near"], item["far"],
                         item["ray_mask"], item_box,
                         cfg, deform_fn=deform_fn, deform_args=dargs,
@@ -309,6 +299,14 @@ def main(argv=None):
     key = jax.random.key(args.seed)
     S, C = args.image_size, args.in_channels
 
+    parallel_mesh = None
+    if args.parallel_window and len(jax.devices()) > 1:
+        # Multi-chip: shard the Picard window across the data mesh (the
+        # single-chip window cannot beat the sequential chain; CLAUDE.md).
+        from humanliff_tpu.parallel import make_mesh
+
+        parallel_mesh = make_mesh()
+
     if args.all_layers:
         all_samples = {name: [] for name in LAYER_NAMES}
         done = 0
@@ -317,6 +315,8 @@ def main(argv=None):
             layers = generate_all_layers(
                 model, params, diffusion, sub, batch_size=args.batch_size,
                 image_size=S, channels=C, use_ddim=args.use_ddim,
+                parallel_window=args.parallel_window,
+                parallel_tol=args.parallel_tol, parallel_mesh=parallel_mesh,
             )
             for name, x in layers.items():
                 all_samples[name].append(np.asarray(x))
@@ -356,6 +356,7 @@ def main(argv=None):
             model, params, diffusion, args.layer_idx, xc, sub,
             args.batch_size, S, C, use_ddim=args.use_ddim,
             parallel_window=args.parallel_window, parallel_tol=args.parallel_tol,
+            parallel_mesh=parallel_mesh,
         )
         outs.append(np.asarray(samples))
         done += args.batch_size

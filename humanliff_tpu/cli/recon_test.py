@@ -26,7 +26,8 @@ def main(argv=None):
     parser = cfglib.stage1_parser()
     parser.add_argument("--triplane_dir", type=str, default="./triplanes")
     parser.add_argument("--savedir", type=str, default=None)
-    parser.add_argument("--fast_eval", type=bool, default=False,
+    parser.add_argument("--fast_eval", type=lambda s: s.lower() == "true",
+                        default=False,
                         help="density-grid fast render tier for eval views "
                              "(nerf/fastpath.py); default keeps the exact "
                              "reference hierarchy")

@@ -57,36 +57,30 @@ def evaluate_views(
     if savedir:
         os.makedirs(savedir, exist_ok=True)
     lpips = lpips_fn()
-    grid = None
+    grids = None
     if fast and view_items:
-        from humanliff_tpu.nerf.fastpath import build_density_grid
+        from humanliff_tpu.nerf.fastpath import GridCache
 
-        grid = build_density_grid(
-            decoder, decoder_params, planes, view_items[0]["box_warp"],
-            resolution=grid_resolution,
-        )
-        grid_box = np.asarray(view_items[0]["box_warp"], np.float32)
+        grids = GridCache(decoder, decoder_params, planes,
+                          resolution=grid_resolution)
     rows = []
     for vi, item in enumerate(view_items):
         H, W = (int(item["hw"][0]), int(item["hw"][1]))
         t0 = time.time()
         dargs = None if deform_args_fn is None else deform_args_fn(item)
-        if grid is not None:
-            from humanliff_tpu.nerf.fastpath import (
-                build_density_grid as _bdg,
-                render_image_fast,
-            )
+        if grids is not None:
+            from humanliff_tpu.nerf.fastpath import render_image_fast
 
             item_box = np.asarray(item["box_warp"], np.float32)
-            if not np.array_equal(item_box, grid_box):
-                grid = _bdg(decoder, decoder_params, planes, item_box,
-                            resolution=grid_resolution)
-                grid_box = item_box
             out = render_image_fast(
-                decoder, decoder_params, planes, grid,
+                decoder, decoder_params, planes, grids.get(item_box),
                 item["rays_o"], item["rays_d"], item["near"], item["far"],
                 item["ray_mask"], item_box, cfg, chunk=max(chunk, 4096),
                 deform_fn=deform_fn, deform_args=dargs,
+                # Terminated in-mask rays must match the exact tier's
+                # background compositing, and acc/depth are unused downloads.
+                bg_color=1.0 if cfg.white_bkgd else 0.0,
+                outputs=("rgb",),
             )
         else:
             out = render_image_masked(

@@ -138,6 +138,26 @@ def sample_grid_density(
     return (rows * w).sum(-1).astype(jnp.float32)
 
 
+class GridCache:
+    """One density grid per (decoder, params, planes), rebuilt when the box
+    changes — the shared rebuild-on-box-change logic of the decode and eval
+    loops (per-pose SynBody world bounds vs shared canonical bounds)."""
+
+    def __init__(self, decoder, decoder_params, planes, resolution: int = 128):
+        self._args = (decoder, decoder_params, planes, resolution)
+        self._box = None
+        self._grid = None
+
+    def get(self, box_warp) -> DensityGrid:
+        box = np.asarray(box_warp, np.float32)
+        if self._grid is None or not np.array_equal(box, self._box):
+            decoder, params, planes, res = self._args
+            self._grid = build_density_grid(decoder, params, planes, box,
+                                            resolution=res)
+            self._box = box
+        return self._grid
+
+
 _COARSE_CACHE: Dict = {}
 _FINE_CACHE: Dict = {}
 

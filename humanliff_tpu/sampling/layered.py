@@ -100,7 +100,10 @@ def generate_layer(
     if x_cond is None:
         x_cond = jnp.zeros(shape, jnp.float32)
     y = jnp.full((batch_size,), layer_idx, jnp.int32)
-    if parallel_window and not use_ddim:
+    if parallel_window and use_ddim:
+        raise ValueError("parallel_window implements the ancestral (DDPM) chain; "
+                         "it cannot be combined with use_ddim")
+    if parallel_window:
         from humanliff_tpu.sampling.parallel import parallel_p_sample_loop
 
         samples, _ = parallel_p_sample_loop(
@@ -171,6 +174,9 @@ def generate_all_layers(
     num_layers: int = 4,
     use_ddim: bool = False,
     mesh=None,
+    parallel_window: int = 0,
+    parallel_tol: float = 5e-3,
+    parallel_mesh=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run the full 4-layer progressive chain; returns {layer_name: (B, H, W, C)}.
 
@@ -189,6 +195,8 @@ def generate_all_layers(
             samples = generate_layer(
                 model, params, diffusion, k, x_cond, sub,
                 batch_size, image_size, channels, use_ddim,
+                parallel_window=parallel_window, parallel_tol=parallel_tol,
+                parallel_mesh=parallel_mesh,
             )
         out[LAYER_NAMES[k] if k < len(LAYER_NAMES) else f"layer_{k}"] = samples
         x_cond = samples

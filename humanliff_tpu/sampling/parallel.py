@@ -84,7 +84,12 @@ def _window_step(
     cand = cand_flat.reshape(X.shape)
 
     prev_guess = X[1:]  # old estimates of x_{t0-1} .. x_{t0-W+1}
-    resid = jnp.mean(jnp.abs(cand[:-1] - prev_guess), axis=tuple(range(1, X.ndim)))
+    # Per-SAMPLE mean deviation, max over the batch: one bad trajectory must
+    # not be accepted because its co-samples already converged.
+    per_sample = jnp.mean(
+        jnp.abs(cand[:-1] - prev_guess), axis=tuple(range(2, X.ndim))
+    )  # (W-1, B)
+    resid = per_sample.max(axis=-1)
     return cand, resid
 
 
