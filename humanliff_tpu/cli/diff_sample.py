@@ -75,6 +75,9 @@ def build_parser():
                    help="grid-guided coarse pass + empty-ray termination "
                         "(nerf/fastpath.py); exact fine pass, ~3x faster decode")
     p.add_argument("--grid_resolution", type=int, default=128)
+    p.add_argument("--early_term_eps", type=float, default=1e-2,
+                   help="fast_render: terminate rays whose grid transmittance "
+                        "estimate stays below this (smaller = more exact)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -228,6 +231,7 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                 decoder, decoder_params, planes, grids.get(box0),
                 cat["rays_o"], cat["rays_d"], cat["near"], cat["far"],
                 cat["ray_mask"], box0, cfg, outputs=("rgb",),
+                early_term_eps=args.early_term_eps,
             )
             rgb_views = np.split(
                 out["rgb"], np.cumsum([h * w for h, w in shapes])[:-1]
@@ -246,7 +250,7 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                         item["rays_o"], item["rays_d"], item["near"], item["far"],
                         item["ray_mask"], item_box,
                         cfg, deform_fn=deform_fn, deform_args=dargs,
-                        outputs=("rgb",),
+                        outputs=("rgb",), early_term_eps=args.early_term_eps,
                     )
                 else:
                     out = render_image_masked(

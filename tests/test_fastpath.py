@@ -115,3 +115,16 @@ def test_fast_render_big_coarse_tiles_match_small():
     )
     np.testing.assert_allclose(big["rgb"], small["rgb"], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(big["acc"], small["acc"], rtol=1e-5, atol=1e-6)
+
+
+def test_grid_cache_rebuilds_only_on_box_change():
+    from humanliff_tpu.nerf.fastpath import GridCache
+
+    decoder, params, planes, *_ , box = _setup()
+    cache = GridCache(decoder, params, planes, resolution=8)
+    g1 = cache.get(box)
+    g2 = cache.get(box.copy())       # equal box -> same grid object
+    assert g1 is g2
+    g3 = cache.get(box * 1.5)        # new box -> rebuilt
+    assert g3 is not g1
+    assert g1.table.shape == g3.table.shape
