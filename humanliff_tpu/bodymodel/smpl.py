@@ -152,6 +152,18 @@ def lbs_forward(
 _MODEL_CACHE: dict = {}
 
 
+def find_smplx_model(model_dir: str, gender: str) -> str:
+    """Locate ``SMPLX_{GENDER}`` under ``model_dir``, probing the standard
+    ``.npz`` distribution first, then the pkl layout."""
+    for ext in (".npz", ".pkl"):
+        cand = os.path.join(model_dir, f"SMPLX_{gender.upper()}{ext}")
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"no SMPLX_{gender.upper()}.npz/.pkl under {model_dir}"
+    )
+
+
 def load_body_model(path: str) -> BodyModel:
     """Load a SMPL/SMPL-X model file into arrays.
 

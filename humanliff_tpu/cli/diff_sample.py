@@ -65,6 +65,9 @@ def build_parser():
     p.add_argument("--cameras_json", type=str, default=None,
                    help="orbit mode: use this cameras.json instead of the orbit")
     p.add_argument("--smpl_model_path", type=str, default="assets/SMPL_NEUTRAL.pkl")
+    p.add_argument("--smplx_model_dir", type=str, default="assets",
+                   help="directory holding SMPLX_{GENDER}.npz/.pkl for "
+                        "--view_dataset synbody")
     p.add_argument("--image_scaling", type=float, default=1.0)
     p.add_argument("--num_views", type=int, default=40)
     p.add_argument("--render_size", type=int, default=512)
@@ -78,6 +81,10 @@ def build_parser():
     p.add_argument("--early_term_eps", type=float, default=1e-2,
                    help="fast_render: terminate rays whose grid transmittance "
                         "estimate stays below this (smaller = more exact)")
+    p.add_argument("--dump_trajectory", type=int, default=0, metavar="N",
+                   help="record pred_xstart every N denoise steps to "
+                        "trajectory_{layer}.npz (reference "
+                        "p_sample_loop_progressive parity; 0 = off)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -134,8 +141,10 @@ def _decode_views(args, layer_idx: int):
         from humanliff_tpu.bodymodel.smpl import load_body_model
         from humanliff_tpu.data.view_datasets import SynBodyViewDataset
 
+        from humanliff_tpu.bodymodel.smpl import find_smplx_model
+
         models = {
-            g: load_body_model(os.path.join("assets", f"SMPLX_{g.upper()}.pkl"))
+            g: load_body_model(find_smplx_model(args.smplx_model_dir, g))
             for g in ("male", "female", "neutral")
         }
         ds = SynBodyViewDataset(
@@ -356,12 +365,32 @@ def main(argv=None):
             if xc.shape[0] < args.batch_size:  # ragged tail: pad (trimmed below)
                 pad = args.batch_size - xc.shape[0]
                 xc = np.concatenate([xc, np.repeat(xc[-1:], pad, axis=0)])
-        samples = generate_layer(
-            model, params, diffusion, args.layer_idx, xc, sub,
-            args.batch_size, S, C, use_ddim=args.use_ddim,
-            parallel_window=args.parallel_window, parallel_tol=args.parallel_tol,
-            parallel_mesh=parallel_mesh,
-        )
+        if args.dump_trajectory:
+            from humanliff_tpu.sampling.layered import generate_layer_progressive
+
+            samples, traj = generate_layer_progressive(
+                model, params, diffusion, args.layer_idx,
+                None if xc is None else jnp.asarray(xc), sub,
+                args.batch_size, S, C, record_every=args.dump_trajectory,
+                use_ddim=args.use_ddim,
+            )
+            tpath = os.path.join(
+                args.out_dir,
+                f"trajectory_{LAYER_NAMES[args.layer_idx]}_b{done}.npz",
+            )
+            np.savez_compressed(
+                tpath,
+                t=np.asarray([t for t, _ in traj], np.int32),
+                pred_xstart=np.stack([p for _, p in traj]),
+            )
+            print("wrote", tpath)
+        else:
+            samples = generate_layer(
+                model, params, diffusion, args.layer_idx, xc, sub,
+                args.batch_size, S, C, use_ddim=args.use_ddim,
+                parallel_window=args.parallel_window, parallel_tol=args.parallel_tol,
+                parallel_mesh=parallel_mesh,
+            )
         outs.append(np.asarray(samples))
         done += args.batch_size
         print(f"sampled {done}/{args.num_samples}")

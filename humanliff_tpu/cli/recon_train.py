@@ -43,11 +43,11 @@ def build_dataset(args):
         )
         return ds, None
     if args.data_set_type == "SynBody":
-        from humanliff_tpu.bodymodel.smpl import load_body_model
+        from humanliff_tpu.bodymodel.smpl import find_smplx_model, load_body_model
         from humanliff_tpu.data.synbody import SynBodyDataset
 
         models = {
-            g: load_body_model(os.path.join("assets", f"SMPLX_{g.upper()}.pkl"))
+            g: load_body_model(find_smplx_model(args.smplx_model_dir, g))
             for g in ("male", "female", "neutral")
         }
         ds = SynBodyDataset(

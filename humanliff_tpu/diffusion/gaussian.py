@@ -280,6 +280,71 @@ class GaussianDiffusion:
         x, _ = jax.lax.scan(step, x, (ts, keys))
         return x
 
+    def p_sample_loop_progressive(
+        self,
+        model_fn: ModelFn,
+        shape,
+        key: jax.Array,
+        x_cond=None,
+        noise=None,
+        clip_denoised=True,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        """Generator yielding ``{"sample", "pred_xstart"}`` after every
+        ancestral step, t = T-1..0 (gaussian_diffusion.py:445-482) — the
+        visualization/debugging variant. One jitted per-step program is reused
+        across all T steps (x and x_cond are traced arguments, never closure
+        constants); :meth:`p_sample_loop` (a single compiled scan) remains the
+        fast non-progressive path.
+        """
+        yield from self._progressive_loop(
+            self.p_sample, model_fn, shape, key, x_cond, noise, clip_denoised,
+            model_kwargs,
+        )
+
+    def ddim_sample_loop_progressive(
+        self,
+        model_fn: ModelFn,
+        shape,
+        key: jax.Array,
+        x_cond=None,
+        noise=None,
+        clip_denoised=True,
+        eta: float = 0.0,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        """DDIM twin of :meth:`p_sample_loop_progressive`
+        (gaussian_diffusion.py:617-651)."""
+
+        def sample_fn(model_fn, x, x_cond, t, k, clip_denoised, model_kwargs):
+            return self.ddim_sample(
+                model_fn, x, x_cond, t, k, clip_denoised, eta, model_kwargs
+            )
+
+        yield from self._progressive_loop(
+            sample_fn, model_fn, shape, key, x_cond, noise, clip_denoised,
+            model_kwargs,
+        )
+
+    def _progressive_loop(
+        self, sample_fn, model_fn, shape, key, x_cond, noise, clip_denoised,
+        model_kwargs,
+    ):
+        k_init, k_loop = jax.random.split(key)
+        x = jax.random.normal(k_init, shape) if noise is None else noise
+
+        @jax.jit
+        def step(x, x_cond, t, k):
+            return sample_fn(
+                model_fn, x, x_cond, t, k, clip_denoised, model_kwargs
+            )
+
+        keys = jax.random.split(k_loop, self.num_timesteps)
+        for i, t_scalar in enumerate(range(self.num_timesteps - 1, -1, -1)):
+            t = jnp.full((shape[0],), t_scalar, jnp.int32)
+            x, pred_x0 = step(x, x_cond, t, keys[i])
+            yield {"sample": x, "pred_xstart": pred_x0}
+
     # ---------------- DDIM ----------------
 
     def ddim_sample(

@@ -82,6 +82,13 @@ def evaluate_views(
                 bg_color=1.0 if cfg.white_bkgd else 0.0,
                 outputs=("rgb",),
             )
+            if cfg.white_bkgd:
+                # The exact tier (render_image_masked, fill 0.0) and the
+                # reference protocol (all_test.py ssim_metric zeroes outside
+                # the mask) leave OUT-of-mask pixels 0; only terminated
+                # in-mask rays composite the white background.
+                out_mask = np.asarray(item["ray_mask"]).reshape(-1).astype(bool)
+                out["rgb"][~out_mask] = 0.0
         else:
             out = render_image_masked(
                 decoder, decoder_params, planes,

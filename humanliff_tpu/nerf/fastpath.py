@@ -49,20 +49,20 @@ from humanliff_tpu.ops.compositing import composite_rays
 from humanliff_tpu.ops.triplane import sample_triplane_features
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class DensityGrid:
     """Quad-packed trilinear density table over ``box_warp``.
 
     ``table``: ``((R+1)^3, 8)`` DEVICE array; row (k, j, i) holds the 2x2x2
     corner densities (raw, pre-softplus) of the cell with min corner (i, j, k)
     on the (R+1)-point lattice spanning the box. Edge-clamped.
+
+    ``eq=False``: identity eq/hash — the field-wise dataclass ``__eq__`` would
+    compare jnp arrays and raise on any grid-vs-grid comparison.
     """
 
     table: jnp.ndarray
     resolution: int
-
-    def __hash__(self):
-        return id(self)
 
 
 _BUILD_CACHE: Dict = {}

@@ -117,6 +117,57 @@ def generate_layer(
     )
 
 
+def generate_layer_progressive(
+    model,
+    params,
+    diffusion: GaussianDiffusion,
+    layer_idx: int,
+    x_cond: Optional[jnp.ndarray],
+    key: jax.Array,
+    batch_size: int,
+    image_size: int,
+    channels: int,
+    record_every: int = 10,
+    use_ddim: bool = False,
+    clip_denoised: bool = True,
+):
+    """Sample one layer while recording the denoise trajectory.
+
+    Returns ``(samples, traj)`` where ``traj`` is a list of
+    ``(t, pred_xstart numpy)`` snapshots every ``record_every`` steps (plus the
+    final step) — the jax form of the reference's yield-per-step
+    ``p_sample_loop_progressive`` (gaussian_diffusion.py:445-482), used for
+    visualization/debugging of the chain.
+    """
+    import numpy as np
+
+    shape = (batch_size, image_size, image_size, channels)
+    if x_cond is None:
+        x_cond = jnp.zeros(shape, jnp.float32)
+    y = jnp.full((batch_size,), layer_idx, jnp.int32)
+
+    def model_fn(x, ts, xc, y=y):
+        return model.apply(params, x, ts, xc, y)
+
+    loop = (
+        diffusion.ddim_sample_loop_progressive
+        if use_ddim
+        else diffusion.p_sample_loop_progressive
+    )
+    traj = []
+    x = None
+    T = diffusion.num_timesteps
+    for i, out in enumerate(
+        loop(model_fn, shape, key, x_cond=x_cond, clip_denoised=clip_denoised,
+             model_kwargs={"y": y})
+    ):
+        x = out["sample"]
+        t = T - 1 - i
+        if i % max(record_every, 1) == 0 or t == 0:
+            traj.append((t, np.asarray(out["pred_xstart"])))
+    return x, traj
+
+
 def generate_layer_sharded(
     model,
     params,

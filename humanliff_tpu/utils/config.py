@@ -75,6 +75,8 @@ def stage1_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_canonical_space", type=bool, default=False)
     p.add_argument("--smpl_type", type=str, default="smplx")
     p.add_argument("--smpl_model_path", type=str, default="assets/SMPL_NEUTRAL.pkl")
+    p.add_argument("--smplx_model_dir", type=str, default="assets",
+                   help="directory holding SMPLX_{GENDER}.npz/.pkl (SynBody)")
     p.add_argument("--ft_path", type=str, default=None)
     p.add_argument("--no_reload", type=bool, default=False)
     p.add_argument("--i_print", type=int, default=100)

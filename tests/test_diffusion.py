@@ -189,3 +189,65 @@ def test_learned_range_var_split():
     losses = d.training_losses(model, x0, None, t, jax.random.key(0))
     assert "vb" in losses and losses["loss"].shape == (2,)
     assert np.isfinite(np.asarray(losses["loss"])).all()
+
+
+def test_p_sample_loop_progressive_matches_scan_loop():
+    """The progressive generator derives the identical PRNG stream as the
+    compiled scan, so its final sample is bit-equal to p_sample_loop
+    (gaussian_diffusion.py:445-482 parity)."""
+    d = create_diffusion(steps=20)
+    model = lambda x, ts, xc: 0.1 * x
+    key = jax.random.key(7)
+    # clip_denoised=False keeps the chain linear: the scan-compiled and
+    # per-step-jitted programs may fuse differently, and the ±1 clip would
+    # amplify float-level differences into sign flips.
+    ref = d.p_sample_loop(model, (2, 4, 4, 3), key, clip_denoised=False)
+
+    steps = list(
+        d.p_sample_loop_progressive(model, (2, 4, 4, 3), key, clip_denoised=False)
+    )
+    assert len(steps) == d.num_timesteps
+    np.testing.assert_allclose(
+        np.asarray(steps[-1]["sample"]), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+    for out in steps[:3]:
+        assert out["pred_xstart"].shape == (2, 4, 4, 3)
+        assert np.isfinite(np.asarray(out["pred_xstart"])).all()
+
+
+def test_ddim_sample_loop_progressive_matches_scan_loop():
+    d = create_diffusion(steps=20)
+    model = lambda x, ts, xc: 0.1 * x
+    key = jax.random.key(9)
+    ref = d.ddim_sample_loop(model, (1, 4, 4, 3), key, clip_denoised=False)
+    steps = list(
+        d.ddim_sample_loop_progressive(model, (1, 4, 4, 3), key, clip_denoised=False)
+    )
+    np.testing.assert_allclose(
+        np.asarray(steps[-1]["sample"]), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_generate_layer_progressive_records_trajectory():
+    from humanliff_tpu.models.unet import UNetModel
+    from humanliff_tpu.sampling.layered import generate_layer_progressive
+
+    model = UNetModel(
+        in_channels=6, model_channels=16, out_channels=6, num_res_blocks=1,
+        attention_resolutions=(), channel_mult=(1,), num_classes=4,
+        num_heads=2, cond_type="controlnet",
+    )
+    d = create_diffusion(steps=10)
+    object.__setattr__(d, "channel_axis", -1)
+    x0 = jnp.zeros((1, 8, 8, 6))
+    params = model.init(
+        jax.random.key(0), x0, jnp.zeros((1,)), x0, jnp.zeros((1,), jnp.int32)
+    )
+    samples, traj = generate_layer_progressive(
+        model, params, d, layer_idx=1, x_cond=None, key=jax.random.key(1),
+        batch_size=1, image_size=8, channels=6, record_every=4,
+    )
+    assert samples.shape == (1, 8, 8, 6)
+    ts = [t for t, _ in traj]
+    assert ts[0] == 9 and ts[-1] == 0  # first and final steps always recorded
+    assert all(p.shape == (1, 8, 8, 6) for _, p in traj)
