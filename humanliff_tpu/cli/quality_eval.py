@@ -1,0 +1,211 @@
+"""Pinned synthetic quality-parity protocol: train to convergence, then score
+with the reference's measurement exactly.
+
+One command (scripts/quality_eval.sh) reproduces the whole campaign:
+
+1. TRAIN — stage-1 shared-decoder fit on the synthetic layered benchmark
+   (data/synthetic.py): fresh ray batches every step (the analog of the
+   reference drawing random (subject, layer, pose, view) items from 185
+   views, SynBody_dataset.py:227-352), tight per-instance bounds (the analog
+   of vertex bounds + pad, :188-194), reference losses/optimizer/clamp.
+   Resumable; re-running skips straight to eval when the checkpoint is done.
+2. EVAL — held-out novel views by the reference view-id rule
+   (all_test.py:100-109: [145+5*layer, 165+5*layer], or 145..185 for one
+   --test_layer_id), scored per (subject, layer) with mask-pixel MSE/PSNR and
+   mask-crop SSIM (+LPIPS when weights exist) exactly as all_test.py:19-42,
+   186-227; per-image wall-clock printed; metrics.json/metrics.npy written.
+3. REPORT — a per-layer QUALITY.md table (mean over subjects and views) with
+   the hardest layer called out, replacing ad-hoc protocol-dependent numbers.
+
+The protocol is PINNED: every hyperparameter below defaults to the campaign
+value, and the eval uses the exact render tier (no fast approximations).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("humanliff quality-eval")
+    p.add_argument("--out_dir", type=str, default="runs/quality")
+    p.add_argument("--steps", type=int, default=25000)
+    p.add_argument("--num_instance", type=int, default=2)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--n_rand", type=int, default=2048)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--n_importance", type=int, default=128)
+    p.add_argument("--triplane_dim", type=int, default=256)
+    p.add_argument("--triplane_ch", type=int, default=27)
+    p.add_argument("--use_bf16", type=lambda s: s.lower() == "true", default=False,
+                   help="bf16 render compute during training (reference parity "
+                        "default: fp32, run_nerf_batch.py:206)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test_layer_id", type=int, default=None,
+                   help="evaluate the 145..185 view range on ONE layer "
+                        "(all_test.py single-layer mode)")
+    p.add_argument("--skip_train", action="store_true",
+                   help="evaluate an existing checkpoint only")
+    p.add_argument("--fast_eval", action="store_true",
+                   help="ALSO report the fast-tier numbers next to the exact "
+                        "protocol scores")
+    p.add_argument("--i_print", type=int, default=500)
+    p.add_argument("--i_weights", type=int, default=5000)
+    return p
+
+
+def _train(args):
+    from humanliff_tpu.cli import recon_train
+
+    argv = [
+        "--data_set_type", "synthetic",
+        "--basedir", args.out_dir,
+        "--expname", "train",
+        "--n_iteration", str(args.steps),
+        "--num_instance", str(args.num_instance),
+        "--n_rand", str(args.n_rand),
+        "--batch_size", str(args.batch_size),
+        "--n_samples", str(args.n_samples),
+        "--n_importance", str(args.n_importance),
+        "--triplane_dim", str(args.triplane_dim),
+        "--triplane_ch", str(args.triplane_ch),
+        "--synthetic_image_size", str(args.image_size),
+        "--synthetic_tight_bounds", "true",
+        "--use_bf16", "true" if args.use_bf16 else "false",
+        "--seed", str(args.seed),
+        "--i_print", str(args.i_print),
+        "--i_weights", str(args.i_weights),
+    ]
+    recon_train.main(argv)
+
+
+def _evaluate(args):
+    from humanliff_tpu.data.synthetic import SyntheticLayeredDataset
+    from humanliff_tpu.eval.harness import default_test_views, evaluate_views
+    from humanliff_tpu.nerf.decoder import NeRFDecoder
+    from humanliff_tpu.nerf.renderer import RenderConfig
+    from humanliff_tpu.train import checkpoint as ckpt
+
+    expdir = os.path.join(args.out_dir, "train")
+    restored, step = ckpt.restore_state(expdir)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {expdir} — train first")
+    params = ckpt.get_field(restored, "params")
+    decoder = NeRFDecoder(d_in=args.triplane_ch)
+    print(f"[quality] evaluating checkpoint step {step}")
+
+    ds = SyntheticLayeredDataset(
+        num_instances=args.num_instance,
+        n_rays=args.n_rand,
+        image_size=args.image_size,
+        tight_bounds=True,
+    )
+    cfg = RenderConfig(
+        n_samples=args.n_samples, n_importance=args.n_importance,
+        perturb=False, density_noise=False, white_bkgd=False,
+    )
+
+    savedir = os.path.join(args.out_dir, f"eval_{step:06d}")
+    results = {}
+    layers = (
+        [args.test_layer_id] if args.test_layer_id is not None else range(4)
+    )
+    for inst in range(args.num_instance):
+        for layer in layers:
+            views = default_test_views(layer, args.test_layer_id)
+            items = [ds.test_item(inst, layer, v) for v in views]
+            tiers = {"exact": False}
+            if args.fast_eval:
+                tiers["fast"] = True
+            for tier, fast in tiers.items():
+                agg = evaluate_views(
+                    decoder, params["decoder"],
+                    np.asarray(params["planes"][inst, layer]),
+                    items, cfg, savedir=savedir if tier == "exact" else None,
+                    tag=f"s{inst:04d}_l{layer}", fast=fast,
+                )
+                results[f"subject{inst}_layer{layer}_{tier}"] = agg
+                print(f"[quality] subject {inst} layer {layer} [{tier}]: {agg}")
+    return step, savedir, results
+
+
+def _report(args, step, savedir, results):
+    layers = sorted({int(k.split("_layer")[1].split("_")[0]) for k in results})
+    lines = [
+        "# QUALITY — pinned synthetic quality-parity protocol",
+        "",
+        f"Checkpoint: step {step}; campaign command: `bash scripts/quality_eval.sh`",
+        "",
+        "Protocol (matches recon_NeRF/lib/all_test.py exactly):",
+        f"- Train: {args.steps} steps, batch {args.batch_size} x {args.n_rand} rays, "
+        f"{args.n_samples}+{args.n_importance} samples/ray, "
+        f"{args.num_instance} subjects x 4 cumulative layers, {args.image_size}^2 views, "
+        f"fresh ray batches each step, tight per-instance bounds, "
+        f"{'bf16' if args.use_bf16 else 'fp32'} render compute, seed {args.seed}.",
+        "- Eval: held-out novel views by the reference view-id rule "
+        "(all_test.py:100-109), EXACT render tier, mask-pixel MSE/PSNR, "
+        "mask-crop SSIM with outside-mask zeroed (all_test.py:19-42,186-195).",
+        "",
+        "| layer | PSNR (dB) | SSIM | MSE | time/image (s) |",
+        "|---|---|---|---|---|",
+    ]
+    hardest = (None, 1e9)
+    for layer in layers:
+        rows = [
+            results[k]
+            for k in results
+            if f"_layer{layer}_exact" in k
+        ]
+        psnr = float(np.mean([r["psnr"] for r in rows]))
+        ssim = float(np.mean([r["ssim"] for r in rows]))
+        mse = float(np.mean([r["mse"] for r in rows]))
+        tpi = float(np.mean([r["time_per_image_s"] for r in rows]))
+        lines.append(f"| {layer} | {psnr:.2f} | {ssim:.4f} | {mse:.2e} | {tpi:.2f} |")
+        if psnr < hardest[1]:
+            hardest = (layer, psnr)
+    lines += [
+        "",
+        f"**Hardest layer: {hardest[0]} at {hardest[1]:.2f} dB.**",
+        "",
+        f"Per-(subject, layer) metrics: `{savedir}/metrics.json` (+ .npy, pred/gt PNGs).",
+    ]
+    if args.fast_eval:
+        lines += ["", "Fast-tier (density-grid coarse pass) comparison:", ""]
+        lines += ["| layer | PSNR fast | SSIM fast |", "|---|---|---|"]
+        for layer in layers:
+            rows = [results[k] for k in results if f"_layer{layer}_fast" in k]
+            if rows:
+                lines.append(
+                    f"| {layer} | {float(np.mean([r['psnr'] for r in rows])):.2f} "
+                    f"| {float(np.mean([r['ssim'] for r in rows])):.4f} |"
+                )
+    md = "\n".join(lines) + "\n"
+    path = os.path.join(args.out_dir, "QUALITY.md")
+    with open(path, "w") as f:
+        f.write(md)
+    with open(os.path.join(args.out_dir, "quality_metrics.json"), "w") as f:
+        json.dump({"step": step, "results": results}, f, indent=2)
+    print(f"[quality] wrote {path}")
+    print(md)
+
+
+def main(argv=None):
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    if not args.skip_train:
+        _train(args)
+    step, savedir, results = _evaluate(args)
+    _report(args, step, savedir, results)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -39,7 +39,10 @@ def build_dataset(args):
         from humanliff_tpu.data.synthetic import SyntheticLayeredDataset
 
         ds = SyntheticLayeredDataset(
-            num_instances=args.num_instance, n_rays=args.n_rand
+            num_instances=args.num_instance,
+            n_rays=args.n_rand,
+            image_size=getattr(args, "synthetic_image_size", 64),
+            tight_bounds=bool(getattr(args, "synthetic_tight_bounds", False)),
         )
         return ds, None
     if args.data_set_type == "SynBody":

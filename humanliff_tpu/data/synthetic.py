@@ -22,13 +22,20 @@ def _ellipsoid_density(pts: np.ndarray, center, radii, sharpness=40.0):
 
 @dataclass
 class SyntheticLayeredDataset:
-    """Indexable item source emitting the stage-1 batch schema (world space)."""
+    """Indexable item source emitting the stage-1 batch schema (world space).
+
+    ``tight_bounds=True`` uses per-instance AABBs hugging the outermost shell
+    (+0.05 pad) instead of the loose [-1, 1]^3 box — the analog of the real
+    loaders' vertex bounds (SynBody_dataset.py:188-194); tri-plane texels then
+    cover the body instead of empty space, which matters for quality parity.
+    """
 
     num_instances: int = 2
     num_layers: int = 4
     n_rays: int = 512
     image_size: int = 64
     n_gt_samples: int = 96  # quadrature samples for analytic GT ray marching
+    tight_bounds: bool = False
 
     def __post_init__(self):
         rng = np.random.default_rng(1234)
@@ -37,6 +44,14 @@ class SyntheticLayeredDataset:
         self.base_radii = rng.uniform(0.25, 0.4, size=(self.num_instances, 3))
         self.colors = rng.uniform(0.2, 1.0, size=(self.num_instances, self.num_layers, 3))
         self.bounds = np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+
+    def instance_bounds(self, inst: int) -> np.ndarray:
+        """World AABB for one instance (tight when ``tight_bounds``)."""
+        if not self.tight_bounds:
+            return self.bounds
+        r = self.base_radii[inst] * (1.0 + 0.18 * (self.num_layers - 1)) + 0.05
+        c = self.centers[inst]
+        return np.stack([c - r, c + r]).astype(np.float32)
 
     def __len__(self):
         return self.num_instances * self.num_layers * 64  # 64 virtual views
@@ -81,12 +96,13 @@ class SyntheticLayeredDataset:
         layer = (index % per_inst) // per_layer
         view = index % per_layer
 
+        bounds = self.instance_bounds(inst)
         K, R, T = self._camera(view)
         S = self.image_size
         ray_o, ray_d = get_rays_np(S, S, K, R, T)
         ray_o = ray_o.reshape(-1, 3)
         ray_d = ray_d.reshape(-1, 3)
-        near, far, hit = get_near_far_np(self.bounds, ray_o, ray_d)
+        near, far, hit = get_near_far_np(bounds, ray_o, ray_d)
         idx = np.where(hit)[0]
         # Oversample candidates, then body-weight the selection at ratio 0.8 like
         # the real loaders (if_nerf_data_utils.py:115-160) — uniform box sampling
@@ -137,5 +153,80 @@ class SyntheticLayeredDataset:
             "rgb": rgb,
             "bkgd_msk": (acc > 0.5).astype(np.float32),
             "ray_mask": np.ones(self.n_rays, np.float32),
-            "box_warp": self.bounds,
+            "box_warp": bounds,
+        }
+
+    def _test_camera(self, view_id: int):
+        """Held-out novel-view camera for reference view ids 145..185.
+
+        Thetas/phis are offset half-steps from the 16x4 training grid, so no
+        test view ever coincides with a training view (the analog of the
+        reference's novel-view split, all_test.py:100-109)."""
+        i = view_id - 145
+        theta = 2 * np.pi * (i / 41.0) + np.pi / 16
+        phi = 0.3 * ((i % 4) - 1.5) + 0.075
+        eye = 3.0 * np.asarray(
+            [np.cos(theta) * np.cos(phi), np.sin(phi), np.sin(theta) * np.cos(phi)]
+        )
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.asarray([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(right, fwd)
+        R = np.stack([right, -up2, fwd], axis=0)
+        T = (-R @ eye).reshape(3, 1)
+        f = self.image_size * 1.2
+        K = np.asarray(
+            [[f, 0, self.image_size / 2], [0, f, self.image_size / 2], [0, 0, 1]]
+        )
+        return K, R, T
+
+    def test_item(
+        self, inst: int, layer: int, view_id: int, n_gt_samples: int = 192
+    ) -> Dict[str, np.ndarray]:
+        """Full-image held-out view item in the eval-harness schema.
+
+        GT rgb comes from dense analytic quadrature (``n_gt_samples`` uniform
+        samples — denser than training's 96 so the integration error sits well
+        below the fit error) computed only on the in-mask rays.
+        """
+        from humanliff_tpu.data.raygen import full_image_rays
+
+        bounds = self.instance_bounds(inst)
+        K, R, T = self._test_camera(view_id)
+        S = self.image_size
+        ro, rd, near, far, mask = full_image_rays(S, S, K, R, T, bounds)
+        ro = ro.reshape(-1, 3)
+        rd = rd.reshape(-1, 3)
+        near = near.reshape(-1)
+        far = far.reshape(-1)
+        mask = mask.reshape(-1).astype(bool)
+
+        rgb = np.zeros((S * S, 3), np.float32)
+        idx = np.where(mask)[0]
+        if idx.size:
+            t = np.linspace(0, 1, n_gt_samples, dtype=np.float32)
+            z = near[idx, None] * (1 - t) + far[idx, None] * t
+            pts = ro[idx, None] + rd[idx, None] * z[..., None]
+            dens, color = self._density_color(inst, layer, pts.reshape(-1, 3))
+            dens = dens.reshape(idx.size, -1)
+            color = color.reshape(idx.size, -1, 3)
+            dists = np.diff(z, axis=-1, append=z[:, -1:] + 1e10)
+            alpha = 1 - np.exp(-dens * dists)
+            trans = np.cumprod(
+                np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1),
+                -1,
+            )[:, :-1]
+            w = alpha * trans
+            rgb[idx] = (color * w[..., None]).sum(1).astype(np.float32)
+
+        return {
+            "hw": np.asarray([S, S], np.int32),
+            "rays_o": ro.astype(np.float32),
+            "rays_d": rd.astype(np.float32),
+            "near": near.astype(np.float32),
+            "far": far.astype(np.float32),
+            "ray_mask": mask.astype(np.float32),
+            "rgb": rgb,
+            "box_warp": bounds,
         }

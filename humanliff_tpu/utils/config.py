@@ -11,6 +11,19 @@ import argparse
 from typing import Dict, List, Optional
 
 
+def str2bool(v) -> bool:
+    """argparse-safe bool: accepts true/false/1/0 (``type=str2bool`` would parse
+    the literal string "false" as True)."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes"):
+        return True
+    if s in ("false", "0", "no", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
+
+
 def _coerce(value: str):
     v = value.strip()
     if v.lower() in ("true", "false"):
@@ -48,7 +61,7 @@ def stage1_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_set_type", type=str, default="SynBody",
                    choices=["SynBody", "TightCap", "synthetic"])
     p.add_argument("--train_split", type=str, default="train")
-    p.add_argument("--multi_person", type=bool, default=True)
+    p.add_argument("--multi_person", type=str2bool, default=True)
     p.add_argument("--num_instance", type=int, default=1)
     p.add_argument("--start", type=int, default=0)
     p.add_argument("--interval", type=int, default=1)
@@ -61,32 +74,36 @@ def stage1_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_samples", type=int, default=128)
     p.add_argument("--n_importance", type=int, default=128)
     p.add_argument("--perturb", type=float, default=1.0)
-    p.add_argument("--white_bkgd", type=bool, default=False)
+    p.add_argument("--white_bkgd", type=str2bool, default=False)
     p.add_argument("--lrate", type=float, default=5e-3)
     p.add_argument("--tri_plane_lrate", type=float, default=1e-1)
     p.add_argument("--lrate_decay", type=int, default=500)
     p.add_argument("--n_iteration", type=int, default=480000)
     p.add_argument("--triplane_dim", type=int, default=256)
     p.add_argument("--triplane_ch", type=int, default=27)
-    p.add_argument("--tv_loss", type=bool, default=True)
+    p.add_argument("--tv_loss", type=str2bool, default=True)
     p.add_argument("--tv_loss_coef", type=float, default=1e-4)
     p.add_argument("--l1_loss_coef", type=float, default=1e-4)
-    p.add_argument("--use_clamp", type=bool, default=True)
-    p.add_argument("--use_canonical_space", type=bool, default=False)
+    p.add_argument("--use_clamp", type=str2bool, default=True)
+    p.add_argument("--use_canonical_space", type=str2bool, default=False)
     p.add_argument("--smpl_type", type=str, default="smplx")
+    p.add_argument("--synthetic_image_size", type=int, default=64,
+                   help="synthetic benchmark: view resolution")
+    p.add_argument("--synthetic_tight_bounds", type=str2bool, default=False,
+                   help="synthetic benchmark: per-instance tight AABBs")
     p.add_argument("--smpl_model_path", type=str, default="assets/SMPL_NEUTRAL.pkl")
     p.add_argument("--smplx_model_dir", type=str, default="assets",
                    help="directory holding SMPLX_{GENDER}.npz/.pkl (SynBody)")
     p.add_argument("--ft_path", type=str, default=None)
-    p.add_argument("--no_reload", type=bool, default=False)
+    p.add_argument("--no_reload", type=str2bool, default=False)
     p.add_argument("--i_print", type=int, default=100)
     p.add_argument("--i_weights", type=int, default=10000)
-    p.add_argument("--test", type=bool, default=False)
+    p.add_argument("--test", type=str2bool, default=False)
     p.add_argument("--test_layer_id", type=int, default=None)
     p.add_argument("--layer_idx", type=int, default=None)
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=100)
-    p.add_argument("--use_bf16", type=bool, default=False)
+    p.add_argument("--use_bf16", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=0)
     return p
 
