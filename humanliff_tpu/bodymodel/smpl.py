@@ -152,6 +152,41 @@ def lbs_forward(
 _MODEL_CACHE: dict = {}
 
 
+def make_synthetic_body_model(
+    J: int = 4, V: int = 64, n_betas: int = 5, seed: int = 0
+) -> BodyModel:
+    """Small random kinematic-chain body model (no assets) for tests and the
+    driver's multi-chip dryrun of the canonical (TightCap) path."""
+    rng = np.random.default_rng(seed)
+    parents = np.arange(-1, J - 1)
+    parents[0] = 0  # root points at itself like SMPL kintree[0]
+    joints = np.cumsum(rng.uniform(0.1, 0.3, size=(J, 3)), axis=0).astype(np.float32)
+    verts = (
+        joints[rng.integers(0, J, size=V)] + rng.normal(scale=0.05, size=(V, 3))
+    ).astype(np.float32)
+
+    # Nearest-vertex one-hot regressor, then re-derive joints so it is exact.
+    Jreg = np.zeros((J, V), np.float32)
+    for j in range(J):
+        d = np.linalg.norm(verts - joints[j], axis=1)
+        Jreg[j, np.argmin(d)] = 1.0
+
+    d = np.linalg.norm(verts[:, None] - (Jreg @ verts)[None], axis=-1)
+    w = np.exp(-d / 0.05)
+    weights = (w / w.sum(1, keepdims=True)).astype(np.float32)
+
+    shapedirs = rng.normal(scale=0.01, size=(V, 3, n_betas)).astype(np.float32)
+    posedirs = rng.normal(scale=0.001, size=(V * 3, (J - 1) * 9)).astype(np.float32)
+    return BodyModel(
+        v_template=verts,
+        shapedirs=shapedirs,
+        posedirs=posedirs,
+        J_regressor=Jreg,
+        weights=weights,
+        parents=parents,
+    )
+
+
 def find_smplx_model(model_dir: str, gender: str) -> str:
     """Locate ``SMPLX_{GENDER}`` under ``model_dir``, probing the standard
     ``.npz`` distribution first, then the pkl layout."""

@@ -81,6 +81,12 @@ def build_parser():
     p.add_argument("--early_term_eps", type=float, default=1e-2,
                    help="fast_render: terminate rays whose grid transmittance "
                         "estimate stays below this (smaller = more exact)")
+    p.add_argument("--report_fidelity", action="store_true",
+                   help="score the layered-chain contract: change-region "
+                        "fraction + outside-region PSNR between each layer "
+                        "and its conditioning (eval/fidelity.py); writes "
+                        "fidelity.json")
+    p.add_argument("--fidelity_threshold", type=float, default=0.1)
     p.add_argument("--dump_trajectory", type=int, default=0, metavar="N",
                    help="record pred_xstart every N denoise steps to "
                         "trajectory_{layer}.npz (reference "
@@ -342,6 +348,22 @@ def main(argv=None):
             print("wrote", path)
             if args.decode:
                 _decode_samples(args, arr, k_name)
+        if args.report_fidelity:
+            import json
+
+            from humanliff_tpu.eval.fidelity import chain_fidelity_report
+
+            stacked = {
+                name: np.concatenate(chunks)[: args.num_samples]
+                for name, chunks in all_samples.items()
+            }
+            report = chain_fidelity_report(stacked, args.fidelity_threshold)
+            fpath = os.path.join(args.out_dir, "fidelity.json")
+            with open(fpath, "w") as f:
+                json.dump(report, f, indent=2)
+            for pair, m in report.items():
+                print(f"[fidelity] {pair}: {m}")
+            print("wrote", fpath)
         return
 
     prev = None
@@ -399,6 +421,21 @@ def main(argv=None):
     path = os.path.join(args.out_dir, f"samples_{name}.npz")
     ckpt.save_samples_npz(path, arr)
     print("wrote", path)
+    if args.report_fidelity and prev is not None:
+        import json
+
+        from humanliff_tpu.eval.fidelity import plane_fidelity
+
+        rows = [
+            plane_fidelity(arr[i], prev[i], args.fidelity_threshold)
+            for i in range(arr.shape[0])
+        ]
+        report = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        fpath = os.path.join(args.out_dir, f"fidelity_{name}.json")
+        with open(fpath, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"[fidelity] prev->{name}: {report}")
+        print("wrote", fpath)
     if args.decode:
         _decode_samples(args, arr, name)
 

@@ -17,7 +17,9 @@ from humanliff_tpu.data.raygen import get_near_far_np, get_rays_np
 
 def _ellipsoid_density(pts: np.ndarray, center, radii, sharpness=40.0):
     d = np.square((pts - center) / radii).sum(-1)
-    return 1.0 / (1.0 + np.exp(sharpness * (d - 1.0)))
+    # Clamp the logit: float32 exp overflows past ~88 (the fp64 original never
+    # hit this); the clamped tail is exactly 0/1 at fp32 anyway.
+    return 1.0 / (1.0 + np.exp(np.minimum(sharpness * (d - 1.0), 80.0)))
 
 
 @dataclass
@@ -38,12 +40,26 @@ class SyntheticLayeredDataset:
     tight_bounds: bool = False
 
     def __post_init__(self):
+        import threading
+
         rng = np.random.default_rng(1234)
-        # Per-instance base shape + per-layer shell colors.
-        self.centers = rng.uniform(-0.15, 0.15, size=(self.num_instances, 3))
-        self.base_radii = rng.uniform(0.25, 0.4, size=(self.num_instances, 3))
-        self.colors = rng.uniform(0.2, 1.0, size=(self.num_instances, self.num_layers, 3))
+        # Per-instance base shape + per-layer shell colors (fp32: the GT
+        # quadrature is memory-bandwidth-bound; fp64 temporaries double it).
+        self.centers = rng.uniform(
+            -0.15, 0.15, size=(self.num_instances, 3)
+        ).astype(np.float32)
+        self.base_radii = rng.uniform(
+            0.25, 0.4, size=(self.num_instances, 3)
+        ).astype(np.float32)
+        self.colors = rng.uniform(
+            0.2, 1.0, size=(self.num_instances, self.num_layers, 3)
+        ).astype(np.float32)
         self.bounds = np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+        # (inst, layer, view) -> full-view GT rays: computed once, then every
+        # item() is a cheap weighted ray selection. Without this the loader
+        # workers (GIL-bound threads) starve the TPU ~10x on big configs.
+        self._gt_cache: Dict = {}
+        self._cache_lock = threading.Lock()
 
     def instance_bounds(self, inst: int) -> np.ndarray:
         """World AABB for one instance (tight when ``tight_bounds``)."""
@@ -88,6 +104,55 @@ class SyntheticLayeredDataset:
         )
         return K, R, T
 
+    def _quadrature(self, inst: int, layer: int, ro, rd, nr, fr,
+                    n_samples: int | None = None):
+        """Analytic GT (rgb, acc) along rays via dense uniform quadrature."""
+        t = np.linspace(0, 1, n_samples or self.n_gt_samples, dtype=np.float32)
+        z = nr[:, None] * (1 - t) + fr[:, None] * t
+        pts = ro[:, None] + rd[:, None] * z[..., None]
+        dens, color = self._density_color(inst, layer, pts.reshape(-1, 3))
+        dens = dens.reshape(z.shape)
+        color = color.reshape(*z.shape, 3)
+        dists = np.diff(z, axis=-1, append=z[:, -1:] + 1e10)
+        alpha = 1 - np.exp(-dens * dists)
+        trans = np.cumprod(
+            np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
+        )[:, :-1]
+        w = alpha * trans
+        rgb = (color * w[..., None]).sum(1).astype(np.float32)
+        acc = w.sum(1).astype(np.float32)
+        return rgb, acc
+
+    def _view_gt(self, inst: int, layer: int, view: int) -> Dict[str, np.ndarray]:
+        """Full-view GT for the in-box rays, cached per (inst, layer, view)."""
+        key = (inst, layer, view)
+        with self._cache_lock:
+            cached = self._gt_cache.get(key)
+        if cached is not None:
+            return cached
+        bounds = self.instance_bounds(inst)
+        K, R, T = self._camera(view)
+        S = self.image_size
+        ray_o, ray_d = get_rays_np(S, S, K, R, T)
+        ray_o = ray_o.reshape(-1, 3).astype(np.float32)
+        ray_d = ray_d.reshape(-1, 3).astype(np.float32)
+        near, far, hit = get_near_far_np(bounds, ray_o, ray_d)
+        idx = np.where(hit)[0]
+        ro, rd = ray_o[idx], ray_d[idx]
+        nr = near[idx].astype(np.float32)
+        fr = far[idx].astype(np.float32)
+        rgb, acc = self._quadrature(inst, layer, ro, rd, nr, fr)
+        cached = {
+            "rays_o": ro, "rays_d": rd, "near": nr, "far": fr,
+            "rgb": rgb, "acc": acc,
+            "body_idx": np.where(acc > 0.5)[0],
+            "bg_idx": np.where(acc <= 0.5)[0],
+            "box_warp": bounds,
+        }
+        with self._cache_lock:
+            self._gt_cache[key] = cached
+        return cached
+
     def item(self, index: int, rng: np.random.Generator | None = None) -> Dict[str, np.ndarray]:
         rng = rng or np.random.default_rng(index)
         per_layer = 64
@@ -96,39 +161,12 @@ class SyntheticLayeredDataset:
         layer = (index % per_inst) // per_layer
         view = index % per_layer
 
-        bounds = self.instance_bounds(inst)
-        K, R, T = self._camera(view)
-        S = self.image_size
-        ray_o, ray_d = get_rays_np(S, S, K, R, T)
-        ray_o = ray_o.reshape(-1, 3)
-        ray_d = ray_d.reshape(-1, 3)
-        near, far, hit = get_near_far_np(bounds, ray_o, ray_d)
-        idx = np.where(hit)[0]
-        # Oversample candidates, then body-weight the selection at ratio 0.8 like
-        # the real loaders (if_nerf_data_utils.py:115-160) — uniform box sampling
-        # is ~90% empty rays here and invites the black-fog density collapse.
-        cand = idx[rng.integers(0, len(idx), 4 * self.n_rays)]
-        ro, rd = ray_o[cand], ray_d[cand]
-        nr, fr = near[cand], far[cand]
-
-        # Analytic GT via dense quadrature along each ray.
-        t = np.linspace(0, 1, self.n_gt_samples, dtype=np.float32)
-        z = nr[:, None] * (1 - t) + fr[:, None] * t
-        pts = ro[:, None] + rd[:, None] * z[..., None]
-        dens, color = self._density_color(inst, layer, pts.reshape(-1, 3))
-        dens = dens.reshape(len(cand), -1)
-        color = color.reshape(len(cand), -1, 3)
-        dists = np.diff(z, axis=-1, append=z[:, -1:] + 1e10)
-        alpha = 1 - np.exp(-dens * dists)
-        trans = np.cumprod(
-            np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
-        )[:, :-1]
-        w = alpha * trans
-        rgb_all = (color * w[..., None]).sum(1).astype(np.float32)
-        acc_all = w.sum(1).astype(np.float32)
-
-        body = np.where(acc_all > 0.5)[0]
-        bg = np.where(acc_all <= 0.5)[0]
+        gt = self._view_gt(inst, layer, view)
+        # Body/bg-weighted selection at ratio 0.8 like the real loaders
+        # (if_nerf_data_utils.py:115-160) — uniform box sampling is ~90% empty
+        # rays here and invites the black-fog density collapse.
+        body = gt["body_idx"]
+        bg = gt["bg_idx"]
         if len(body) == 0:
             body = bg
         if len(bg) == 0:
@@ -140,20 +178,18 @@ class SyntheticLayeredDataset:
                 bg[rng.integers(0, len(bg), self.n_rays - n_body)],
             ]
         )
-        ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
-        rgb, acc = rgb_all[sel], acc_all[sel]
-
+        acc = gt["acc"][sel]
         return {
             "instance_idx": np.int32(inst),
             "layer_idx": np.int32(layer),
-            "rays_o": ro.astype(np.float32),
-            "rays_d": rd.astype(np.float32),
-            "near": nr.astype(np.float32),
-            "far": fr.astype(np.float32),
-            "rgb": rgb,
+            "rays_o": gt["rays_o"][sel],
+            "rays_d": gt["rays_d"][sel],
+            "near": gt["near"][sel],
+            "far": gt["far"][sel],
+            "rgb": gt["rgb"][sel],
             "bkgd_msk": (acc > 0.5).astype(np.float32),
             "ray_mask": np.ones(self.n_rays, np.float32),
-            "box_warp": bounds,
+            "box_warp": gt["box_warp"],
         }
 
     def _test_camera(self, view_id: int):
@@ -203,25 +239,18 @@ class SyntheticLayeredDataset:
         mask = mask.reshape(-1).astype(bool)
 
         rgb = np.zeros((S * S, 3), np.float32)
+        acc = np.zeros((S * S,), np.float32)
         idx = np.where(mask)[0]
         if idx.size:
-            t = np.linspace(0, 1, n_gt_samples, dtype=np.float32)
-            z = near[idx, None] * (1 - t) + far[idx, None] * t
-            pts = ro[idx, None] + rd[idx, None] * z[..., None]
-            dens, color = self._density_color(inst, layer, pts.reshape(-1, 3))
-            dens = dens.reshape(idx.size, -1)
-            color = color.reshape(idx.size, -1, 3)
-            dists = np.diff(z, axis=-1, append=z[:, -1:] + 1e10)
-            alpha = 1 - np.exp(-dens * dists)
-            trans = np.cumprod(
-                np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1),
-                -1,
-            )[:, :-1]
-            w = alpha * trans
-            rgb[idx] = (color * w[..., None]).sum(1).astype(np.float32)
+            rgb[idx], acc[idx] = self._quadrature(
+                inst, layer, ro[idx], rd[idx],
+                near[idx].astype(np.float32), far[idx].astype(np.float32),
+                n_samples=n_gt_samples,
+            )
 
         return {
             "hw": np.asarray([S, S], np.int32),
+            "acc": acc,
             "rays_o": ro.astype(np.float32),
             "rays_d": rd.astype(np.float32),
             "near": near.astype(np.float32),

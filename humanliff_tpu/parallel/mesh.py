@@ -24,11 +24,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize_multihost(**kwargs) -> None:
     """Multi-host runtime init (the reference's NCCL env-var setup_dist,
-    dist_util.py:52-62, becomes one call). No-op when single-process."""
+    dist_util.py:52-62, becomes one call). No-op when single-process.
+
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env vars fill in the arguments
+    jax's own auto-detection only covers for SLURM/MPI launchers — the
+    jax-native spelling of the reference's RANK/WORLD_SIZE/MASTER_ADDR env
+    contract (run_nerf_batch.py:163-173). Exercised for real by
+    tests/test_multihost.py (two CPU-backend processes + localhost
+    coordinator)."""
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
-        jax.distributed.initialize(**kwargs)
+    env = os.environ
+    if "JAX_COORDINATOR_ADDRESS" not in env and not kwargs:
+        return
+    for arg, env_key in (
+        ("num_processes", "JAX_NUM_PROCESSES"),
+        ("process_id", "JAX_PROCESS_ID"),
+    ):
+        if arg not in kwargs and env_key in env:
+            kwargs[arg] = int(env[env_key])
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:

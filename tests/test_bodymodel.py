@@ -15,37 +15,12 @@ from humanliff_tpu.bodymodel import (
 )
 
 
+from humanliff_tpu.bodymodel.smpl import make_synthetic_body_model
+
+
 def _synthetic_model(J=4, V=64, n_betas=5, seed=0):
     """A small random kinematic-chain body model for property tests."""
-    rng = np.random.default_rng(seed)
-    parents = np.arange(-1, J - 1)
-    parents[0] = 0  # root points at itself like SMPL kintree[0]
-    joints = np.cumsum(rng.uniform(0.1, 0.3, size=(J, 3)), axis=0).astype(np.float32)
-    verts = (
-        joints[rng.integers(0, J, size=V)] + rng.normal(scale=0.05, size=(V, 3))
-    ).astype(np.float32)
-
-    # Nearest-vertex one-hot regressor, then re-derive joints so it is exact.
-    Jreg = np.zeros((J, V), np.float32)
-    for j in range(J):
-        d = np.linalg.norm(verts - joints[j], axis=1)
-        Jreg[j, np.argmin(d)] = 1.0
-    joints = Jreg @ verts  # make regressor exact
-
-    d = np.linalg.norm(verts[:, None] - joints[None], axis=-1)
-    w = np.exp(-d / 0.05)
-    weights = (w / w.sum(1, keepdims=True)).astype(np.float32)
-
-    shapedirs = rng.normal(scale=0.01, size=(V, 3, n_betas)).astype(np.float32)
-    posedirs = rng.normal(scale=0.001, size=(V * 3, (J - 1) * 9)).astype(np.float32)
-    return BodyModel(
-        v_template=verts,
-        shapedirs=shapedirs,
-        posedirs=posedirs,
-        J_regressor=Jreg,
-        weights=weights,
-        parents=parents,
-    )
+    return make_synthetic_body_model(J=J, V=V, n_betas=n_betas, seed=seed)
 
 
 def test_rodrigues_matches_cv2():

@@ -126,6 +126,25 @@ def test_full_pipeline(tmp_path):
     sample = np.asarray(layers["person_pant_shirt_shoes"][0])
     assert np.isfinite(sample).all()
 
+    # ---- Chain fidelity (the layered contract) ----
+    from humanliff_tpu.eval.fidelity import chain_fidelity_report, plane_fidelity
+
+    report = chain_fidelity_report({k: np.asarray(v) for k, v in layers.items()})
+    assert list(report) == [
+        "person->person_pant",
+        "person_pant->person_pant_shirt",
+        "person_pant_shirt->person_pant_shirt_shoes",
+    ]
+    assert all(np.isfinite(m["outside_psnr"]) for m in report.values())
+    # GT planes obey the contract by construction: consecutive fine-tuned
+    # layers (warm-started from each other) stay far closer than an unrelated
+    # random plane. (A converged fit localizes the change region too — that
+    # stronger property is asserted on analytic GT in test_fidelity.py.)
+    x1, x0 = tds.item(1)["x"], tds.item(1)["x_cond"]
+    rnd = np.random.default_rng(9).uniform(-1, 1, x1.shape).astype(np.float32)
+    assert np.abs(x1 - x0).mean() < 0.5 * np.abs(rnd - x0).mean()
+    assert np.isfinite(plane_fidelity(x1, x0)["change_fraction"])
+
     tri = planes_image_to_triplane(jnp.asarray(sample))
     assert tri.shape == (3, CH // 3, D, D)
 

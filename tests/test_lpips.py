@@ -123,3 +123,92 @@ def test_vgg16_slice_spec_is_lpips_v01():
     assert VGG16_SLICES == (2, 4, 7, 10, 13)
     convs = [c for c in VGG16_CFG if c != "M"]
     assert len(convs) == 13 and convs[-1] == 512
+
+
+@pytest.mark.slow
+def test_full_vgg16_tower_and_distance_match_torch_oracle():
+    """Full-architecture oracle check (VERDICT r2 item 7): the SAME random
+    weights run through (a) eval/lpips_jax's VGG16 tower + LPIPS math and
+    (b) an independent raw-torch implementation of the lpips v0.1 forward
+    (ScalingLayer -> VGG16 relu slices -> unit-normalize -> squared diff ->
+    lin 1x1 weights -> spatial mean -> sum). Proves the slice indices, SAME/
+    padding=1 conv equivalence, floor max-pool semantics, and the scaling
+    constants — everything a transcription bug could silently break."""
+    torch = pytest.importorskip("torch")
+    from humanliff_tpu.eval.lpips_jax import _SCALE, _SHIFT
+
+    rng = np.random.default_rng(0)
+    params_np = {}
+    cin, ci, chans = 3, 0, []
+    for c in VGG16_CFG:
+        if c == "M":
+            continue
+        fan_in = 3 * 3 * cin
+        params_np[f"conv{ci}_w"] = rng.normal(
+            0, np.sqrt(2.0 / fan_in), (3, 3, cin, c)
+        ).astype(np.float32)
+        params_np[f"conv{ci}_b"] = rng.normal(0, 0.01, (c,)).astype(np.float32)
+        chans.append(c)
+        cin = c
+        ci += 1
+    for li, sl in enumerate(VGG16_SLICES):
+        params_np[f"lin{li}"] = rng.uniform(0, 1, (chans[sl - 1],)).astype(
+            np.float32
+        )
+
+    a = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.2, a.shape), -1, 1).astype(np.float32)
+
+    # ---- torch oracle ----
+    def torch_features(x_nhwc):
+        x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+        shift = torch.tensor(_SHIFT).view(1, 3, 1, 1)
+        scale = torch.tensor(_SCALE).view(1, 3, 1, 1)
+        x = (x - shift) / scale
+        feats = []
+        conv_i = 0
+        with torch.no_grad():
+            for c in VGG16_CFG:
+                if c == "M":
+                    x = torch.nn.functional.max_pool2d(x, 2, 2)
+                    continue
+                w = torch.from_numpy(
+                    np.transpose(params_np[f"conv{conv_i}_w"], (3, 2, 0, 1))
+                )
+                bias = torch.from_numpy(params_np[f"conv{conv_i}_b"])
+                x = torch.nn.functional.conv2d(x, w, bias, padding=1)
+                x = torch.relu(x)
+                conv_i += 1
+                if conv_i in VGG16_SLICES:
+                    feats.append(x)
+        return feats
+
+    def torch_norm(x):
+        return x / (torch.sqrt((x * x).sum(1, keepdim=True)) + 1e-10)
+
+    fa_t = torch_features(a)
+    fb_t = torch_features(b)
+    dist_t = 0.0
+    for li, (xa, xb) in enumerate(zip(fa_t, fb_t)):
+        d = (torch_norm(xa) - torch_norm(xb)) ** 2
+        w = torch.from_numpy(params_np[f"lin{li}"]).view(1, -1, 1, 1)
+        dist_t = dist_t + (d * w).sum(1).mean(dim=(1, 2))
+    dist_t = float(dist_t[0])
+
+    # ---- jax port ----
+    params = {k: jnp.asarray(v) for k, v in params_np.items()}
+    shift = jnp.asarray(_SHIFT)
+    scale = jnp.asarray(_SCALE)
+    fa_j = vgg_features(params, (jnp.asarray(a) - shift) / scale)
+    dist_j = float(lpips_distance(params, jnp.asarray(a), jnp.asarray(b))[0])
+
+    assert len(fa_j) == len(fa_t) == 5
+    for li, (xj, xt) in enumerate(zip(fa_j, fa_t)):
+        xt_nhwc = np.transpose(xt.numpy(), (0, 2, 3, 1))
+        assert xj.shape == xt_nhwc.shape, f"slice {li} shape"
+        scale_ref = max(np.abs(xt_nhwc).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(xj) / scale_ref, xt_nhwc / scale_ref, atol=2e-5,
+            err_msg=f"feature slice {li}",
+        )
+    np.testing.assert_allclose(dist_j, dist_t, rtol=2e-4, atol=1e-6)

