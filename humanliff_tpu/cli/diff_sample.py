@@ -236,7 +236,27 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
                            np.asarray(view_items[0]["box_warp"], np.float32))
             for it in view_items
         )
-        if grids is not None and deform_fn is None and same_box:
+        if len(jax.devices()) > 1 and same_box:
+            # Multi-chip: tiles of masked rays shard across the data mesh
+            # (nerf/sharded.py) — the jax form of the reference's cross-rank
+            # inference split (triplane_sample_layered.py:211-219). Exact
+            # renderer; numerically identical to the single-chip path.
+            from humanliff_tpu.nerf.sharded import render_views_sharded
+            from humanliff_tpu.parallel import make_mesh
+
+            dargs_fn = None
+            if deform_fn is not None:
+                dargs_fn = lambda it: {
+                    k: it[k]
+                    for k in ("poses", "betas", "t_poses", "R", "Th", "smpl_verts")
+                }
+            outs = render_views_sharded(
+                decoder, decoder_params, planes, view_items, cfg,
+                make_mesh(), deform_fn=deform_fn, deform_args_fn=dargs_fn,
+                outputs=("rgb",),
+            )
+            rgb_views = [o["rgb"] for o in outs]
+        elif grids is not None and deform_fn is None and same_box:
             cat = {
                 k: np.concatenate([np.asarray(it[k]) for it in view_items])
                 for k in ("rays_o", "rays_d", "near", "far", "ray_mask")

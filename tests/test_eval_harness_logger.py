@@ -107,3 +107,61 @@ def test_evaluate_views_fast_tier_close_to_exact():
     fast = evaluate_views(decoder, params, planes, [item], cfg, chunk=32,
                           fast=True, grid_resolution=32)
     assert abs(fast["psnr"] - exact["psnr"]) < 1.0, (fast, exact)
+
+
+def test_tensorboard_sink_with_stub_tf(tmp_path, monkeypatch):
+    """The TB sink (reference logs TB scalars every step,
+    run_nerf_batch.py:303-309) exercised offline via a stub tensorflow module:
+    scalars must reach the writer with the right step and the writer must
+    flush per dump."""
+    import contextlib
+    import sys
+    import types
+
+    events = []
+
+    class _Writer:
+        def __init__(self, logdir):
+            self.logdir = logdir
+            self.flushes = 0
+
+        def as_default(self):
+            return contextlib.nullcontext()
+
+        def flush(self):
+            self.flushes += 1
+
+    writers = []
+
+    def create_file_writer(logdir):
+        w = _Writer(logdir)
+        writers.append(w)
+        return w
+
+    tf_stub = types.ModuleType("tensorflow")
+    tf_stub.summary = types.SimpleNamespace(
+        create_file_writer=create_file_writer,
+        scalar=lambda k, v, step: events.append((k, float(v), step)),
+    )
+    monkeypatch.setitem(sys.modules, "tensorflow", tf_stub)
+
+    from humanliff_tpu.utils import logger as loglib
+
+    log = loglib.KVLogger(str(tmp_path), ["tensorboard"])
+    assert len(log.sinks) == 1 and len(writers) == 1
+    assert writers[0].logdir.endswith("tb")
+
+    log.logkv("loss", 0.5)
+    log.logkv_mean("psnr", 10.0)
+    log.logkv_mean("psnr", 20.0)
+    log.dumpkvs(step=7)
+    assert ("loss", 0.5, 7) in events
+    assert ("psnr", 15.0, 7) in events
+    assert writers[0].flushes == 1
+
+    # tf truly absent -> the sink silently drops (CLI stays usable offline).
+    monkeypatch.setitem(sys.modules, "tensorflow", None)
+    log2 = loglib.KVLogger(str(tmp_path), ["tensorboard"])
+    assert log2.sinks == []
+    log2.logkv("x", 1.0)
+    log2.dumpkvs(1)
