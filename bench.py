@@ -151,6 +151,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # ---- 2b. 25x4 reference-workload generation strategy ---------------------
+    # The reference samples 25 subjects x 4 layers at batch 1
+    # (triplane_scripts/SynBody_triplane_sample_layered_*.sh). Single-chip
+    # batching is only clean at B=1 and B=8 (B=2/4 hit an XLA tiling
+    # pathology — see scripts/probe_unet_batch.py); measure one 250-step
+    # layer chain at B=8 and report the best 25x4 strategy.
+    from humanliff_tpu.sampling.layered import generate_layer
+
+    def one_layer_chain(B, key):
+        out = generate_layer(
+            wrap, params, diffusion, 0, None, key, B, 256, 27
+        )
+        force_sync(out)
+
+    one_layer_chain(8, jax.random.key(5))  # compile
+    t0 = time.perf_counter()
+    one_layer_chain(8, jax.random.key(6))
+    layer_b8_s = time.perf_counter() - t0
+
+    naive_25x4_s = 25.0 * generation_s  # 25 sequential B=1 4-layer chains
+    batched_25x4_s = float(np.ceil(25 / 8)) * 4.0 * layer_b8_s
+    workload_25x4_s = min(naive_25x4_s, batched_25x4_s)
+
     # ---- 3. 512^2 novel-view render of the final generated layer -------------
     S = 512
     bounds = np.asarray([[-1.0, -1.2, -1.0], [1.0, 1.2, 1.0]], np.float32)
@@ -212,6 +235,9 @@ def main() -> None:
                 "render_exact_s": round(render_exact_s, 2),
                 "denoise_steps_per_s": round(steps_per_s, 2),
                 "mfu": None if mfu is None else round(mfu, 4),
+                "workload_25x4_generation_s": round(workload_25x4_s, 1),
+                "workload_25x4_naive_b1_s": round(naive_25x4_s, 1),
+                "workload_25x4_batched_b8_s": round(batched_25x4_s, 1),
             }
         )
     )

@@ -28,3 +28,12 @@ def setup_runtime(cache_dir: str = "~/.cache/humanliff_xla") -> None:
         pass  # older jax without the knobs
     if os.environ.get("HL_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
+    # SIGUSR1 -> dump all thread stacks to stderr. Long remote-compile RPCs on
+    # a tunneled backend are indistinguishable from hangs without this.
+    try:
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except Exception:
+        pass
