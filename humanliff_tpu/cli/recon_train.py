@@ -172,6 +172,12 @@ def main(argv=None):
         step += 1
         aux_buf.append(aux)
 
+        if step % args.dispatch_sync_every == 0:
+            # Throttle dispatch-ahead: hundreds of queued-but-unsynced steps
+            # wedge the tunneled remote executor (observed: 500 dispatched
+            # steps, zero results returned). One scalar readback per window
+            # bounds the in-flight queue at negligible cost.
+            float(aux["loss"])
         if step % args.i_print == 0:
             import jax.numpy as jnp
 
