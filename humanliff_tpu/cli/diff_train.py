@@ -17,6 +17,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from humanliff_tpu.models.factory import (
@@ -161,16 +162,32 @@ def main(argv=None):
     key = jax.random.key(args.seed + 1)
     step = int(state.step)
     t0 = time.time()
+    # Metrics stay on device between log intervals (a float() per step is a
+    # synchronous tunnel round-trip); a small scalar sync every 10 steps
+    # bounds async dispatch-ahead (unbounded queues wedge tunneled remote
+    # executors — see cli/recon_train.py).
+    metric_keys = ["loss", "grad_norm"] + [f"loss_q{q}" for q in range(4)]
+    m_buf = []
+    sync_pending = None
     while step < args.total_steps:
         batch = shard_batch(next(batches), mesh)
         key, sub = jax.random.split(key)
         state, m = step_fn(state, batch, sub)
         step += 1
-        log.logkv_mean("loss", float(m["loss"]))
-        log.logkv_mean("grad_norm", float(m["grad_norm"]))
-        for q in range(4):
-            log.logkv_mean(f"loss_q{q}", float(m[f"loss_q{q}"]))
+        m_buf.append(m)
+        # Lagged per-step sync: bounds dispatch-ahead at <=2 in-flight steps
+        # (deeper queues wedge tunneled remote executors) while the readback
+        # overlaps the in-flight step.
+        if sync_pending is not None:
+            float(sync_pending)
+        sync_pending = m["loss"]
         if step % args.log_interval == 0:
+            stacked = jax.device_get(
+                {k: jnp.stack([mm[k] for mm in m_buf]) for k in metric_keys}
+            )
+            m_buf.clear()
+            for k in metric_keys:
+                log.logkv(k, float(np.mean(stacked[k])))
             log.logkv("steps_per_sec", args.log_interval / (time.time() - t0))
             t0 = time.time()
             log.dumpkvs(step)

@@ -162,6 +162,7 @@ def main(argv=None):
     # i_print window keeps the log identical in expectation.
     aux_keys = ("loss", "img_loss", "acc_loss", "tv", "psnr")
     aux_buf = []
+    sync_pending = None
 
     t0 = time.time()
     step = int(state.step)
@@ -173,11 +174,14 @@ def main(argv=None):
         aux_buf.append(aux)
 
         if step % args.dispatch_sync_every == 0:
-            # Throttle dispatch-ahead: hundreds of queued-but-unsynced steps
-            # wedge the tunneled remote executor (observed: 500 dispatched
-            # steps, zero results returned). One scalar readback per window
-            # bounds the in-flight queue at negligible cost.
-            float(aux["loss"])
+            # Throttle dispatch-ahead: queued-but-unsynced steps wedge the
+            # tunneled remote executor (observed repeatedly at depth >= 10).
+            # Sync the PREVIOUS window's scalar after dispatching this step:
+            # the readback overlaps the in-flight step, so steady-state cost
+            # is max(step, RTT) instead of step + RTT.
+            if sync_pending is not None:
+                float(sync_pending)
+            sync_pending = aux["loss"]
         if step % args.i_print == 0:
             import jax.numpy as jnp
 

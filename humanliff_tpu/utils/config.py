@@ -104,10 +104,11 @@ def stage1_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_idx", type=int, default=0)
     p.add_argument("--end_idx", type=int, default=100)
     p.add_argument("--use_bf16", type=str2bool, default=False)
-    p.add_argument("--dispatch_sync_every", type=int, default=10,
-                   help="scalar readback every N steps: bounds async "
+    p.add_argument("--dispatch_sync_every", type=int, default=1,
+                   help="lagged scalar readback every N steps: bounds async "
                         "dispatch-ahead (tunneled remote executors wedge on "
-                        "unbounded queues)")
+                        "queues as shallow as 10; the lagged sync overlaps "
+                        "the in-flight step so N=1 costs ~max(step, RTT))")
     p.add_argument("--seed", type=int, default=0)
     return p
 
