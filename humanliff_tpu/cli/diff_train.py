@@ -175,12 +175,11 @@ def main(argv=None):
         state, m = step_fn(state, batch, sub)
         step += 1
         m_buf.append(m)
-        # Lagged per-step sync: bounds dispatch-ahead at <=2 in-flight steps
-        # (deeper queues wedge tunneled remote executors) while the readback
-        # overlaps the in-flight step.
-        if sync_pending is not None:
-            float(sync_pending)
-        sync_pending = m["loss"]
+        # Strictly-serial per-step sync: tunneled remote executors wedge when
+        # a second program is dispatched while one is in flight (see
+        # cli/recon_train.py); the windowed metric readback above still
+        # removes the other 5 round-trips per step.
+        float(m["loss"])
         if step % args.log_interval == 0:
             stacked = jax.device_get(
                 {k: jnp.stack([mm[k] for mm in m_buf]) for k in metric_keys}

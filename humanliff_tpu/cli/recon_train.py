@@ -140,9 +140,7 @@ def main(argv=None):
         )
         print(f"resumed from step {start}")
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from humanliff_tpu.data.loader import BatchLoader, device_prefetch
+    from humanliff_tpu.data.loader import BatchLoader
 
     loader = BatchLoader(
         num_items=len(dataset),
@@ -151,37 +149,28 @@ def main(argv=None):
         seed=args.seed,
         num_workers=4,
     )
-    # Prefetch puts the next batches on device while the step runs (the
-    # tunnel's H2D copy otherwise serializes with compute).
-    it = device_prefetch(iter(loader), size=2,
-                         sharding=NamedSharding(mesh, P("data")))
+    it = iter(loader)
 
-    # Metrics stay ON DEVICE between prints: a float() per step is a
-    # synchronous tunnel round-trip (5 of them cost ~0.7 s/step on the
-    # remote chip — 4x the step itself). One stacked readback per
-    # i_print window keeps the log identical in expectation.
+    # Metrics stay ON DEVICE between prints: one stacked readback per i_print
+    # window replaces 5 float() round-trips per step. The per-step scalar sync
+    # below is SERIAL on purpose: the tunneled remote executor wedges whenever
+    # a second program is dispatched while one is in flight (lagged/overlapped
+    # sync, 10-deep windows, and device_prefetch all reproduced the wedge;
+    # strictly-serial dispatch is the only pattern that has never wedged).
     aux_keys = ("loss", "img_loss", "acc_loss", "tv", "psnr")
     aux_buf = []
-    sync_pending = None
 
     t0 = time.time()
     step = int(state.step)
     while step < args.n_iteration:
-        batch = next(it)
+        batch = shard_batch(next(it), mesh)
         key, sub = jax.random.split(key)
         state, aux = train_step(state, batch, sub, decoder, cfg, body_model)
         step += 1
         aux_buf.append(aux)
 
         if step % args.dispatch_sync_every == 0:
-            # Throttle dispatch-ahead: queued-but-unsynced steps wedge the
-            # tunneled remote executor (observed repeatedly at depth >= 10).
-            # Sync the PREVIOUS window's scalar after dispatching this step:
-            # the readback overlaps the in-flight step, so steady-state cost
-            # is max(step, RTT) instead of step + RTT.
-            if sync_pending is not None:
-                float(sync_pending)
-            sync_pending = aux["loss"]
+            float(aux["loss"])
         if step % args.i_print == 0:
             import jax.numpy as jnp
 
