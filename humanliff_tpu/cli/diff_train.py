@@ -168,7 +168,6 @@ def main(argv=None):
     # executors — see cli/recon_train.py).
     metric_keys = ["loss", "grad_norm"] + [f"loss_q{q}" for q in range(4)]
     m_buf = []
-    sync_pending = None
     while step < args.total_steps:
         batch = shard_batch(next(batches), mesh)
         key, sub = jax.random.split(key)
