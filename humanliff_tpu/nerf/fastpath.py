@@ -318,6 +318,8 @@ def render_image_fast(
         n_big = (idx_p.shape[0] // cc) * cc
         spans = [(s, cc) for s in range(0, n_big, cc)]
         spans += [(s, chunk) for s in range(n_big, idx_p.shape[0], chunk)]
+        from humanliff_tpu.nerf.renderer import _maybe_serialize
+
         for s, width in spans:
             sl = slice(s, s + width)
             z_t, a_t = coarse(
@@ -326,6 +328,7 @@ def render_image_fast(
             )
             z_tiles.append(z_t)
             active_tiles.append(a_t)
+            _maybe_serialize(a_t)
         z_all = jnp.concatenate(z_tiles)  # device-resident (group, S)
         del z_tiles
         # Only the bitmap crosses the tunnel (group-many bools).
@@ -346,6 +349,7 @@ def render_image_fast(
                     decoder_params, planes, ro_d, rd_d, nr_d, fr_d, z_all,
                     idx_tile, box, deform_args,
                 ))
+                _maybe_serialize(outs[-1])
             # Download only the compact results and scatter host-side.
             dest = idx[act_local]
             for k in full:

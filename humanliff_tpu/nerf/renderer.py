@@ -289,12 +289,28 @@ def render_image_masked(
                 ro_d[sl], rd_d[sl], nr_d[sl], fr_d[sl], box, deform_args,
             )
         )
+        _maybe_serialize(outs[-1])
     for k in full:
         merged = np.concatenate(
             [np.asarray(o[k], np.float32) for o in outs]
         )[:n]
         full[k][idx] = merged
     return full
+
+
+def _maybe_serialize(out) -> None:
+    """HL_SERIAL_DISPATCH=1: force one result readback per dispatched tile.
+
+    Some tunneled remote executors wedge permanently when a second program is
+    dispatched while one is in flight (see CLAUDE.md round-3 notes); the env
+    var serializes every tile loop at ~one RTT per tile."""
+    import os
+
+    if os.environ.get("HL_SERIAL_DISPATCH"):
+        import numpy as _np
+
+        leaf = next(iter(out.values())) if isinstance(out, dict) else out
+        _np.asarray(leaf[:1])
 
 
 def _masked_tile_fn(decoder, cfg: RenderConfig, deform_fn):
