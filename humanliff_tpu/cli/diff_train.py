@@ -163,9 +163,7 @@ def main(argv=None):
     step = int(state.step)
     t0 = time.time()
     # Metrics stay on device between log intervals (a float() per step is a
-    # synchronous tunnel round-trip); a small scalar sync every 10 steps
-    # bounds async dispatch-ahead (unbounded queues wedge tunneled remote
-    # executors — see cli/recon_train.py).
+    # synchronous tunnel round-trip); one stacked readback per interval.
     metric_keys = ["loss", "grad_norm"] + [f"loss_q{q}" for q in range(4)]
     m_buf = []
     while step < args.total_steps:
