@@ -56,7 +56,9 @@ def build_parser():
                    help="ALSO report the fast-tier numbers next to the exact "
                         "protocol scores")
     p.add_argument("--i_print", type=int, default=500)
-    p.add_argument("--i_weights", type=int, default=5000)
+    p.add_argument("--i_weights", type=int, default=2500,
+                   help="checkpoint cadence — any saved step can be evaluated "
+                        "with --skip_train if the campaign is cut short")
     return p
 
 
