@@ -83,6 +83,24 @@ def groupnorm_bench(B, H, W, C, groups=32):
     return timeit(f, p, x)
 
 
+def upsample_bench(B, H, W, C, variant="repeat"):
+    x = jax.random.normal(jax.random.key(0), (B, H, W, C), jnp.bfloat16)
+
+    @jax.jit
+    def f(x):
+        if variant == "repeat":
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if variant == "broadcast":
+            b, h, w, c = x.shape
+            y = jnp.broadcast_to(
+                x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+            )
+            return y.reshape(b, 2 * h, 2 * w, c)
+        return jax.image.resize(x, (B, 2 * H, 2 * W, C), "nearest")
+
+    return timeit(f, x)
+
+
 def full_unet_bench(B):
     from humanliff_tpu.models.factory import create_model
 
@@ -159,6 +177,10 @@ def main():
         row["groupnorm256_192"] = {
             "ms": round(groupnorm_bench(B, 256, 256, 192), 3)
         }
+        for variant in ("repeat", "broadcast", "resize"):
+            row[f"upsample128_{variant}"] = {
+                "ms": round(upsample_bench(B, 128, 128, 384, variant), 3)
+            }
         if not args.skip_full:
             ms, flops = full_unet_bench(B)
             row["full_unet"] = {
