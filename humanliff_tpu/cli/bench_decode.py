@@ -150,6 +150,13 @@ def main(argv=None):
         "exact_s_per_view": float(np.mean(exact_times)),
         "fast_s_per_view": float(np.mean(fast_times)),
         "speedup": float(np.mean(exact_times) / np.mean(fast_times)),
+        # Medians exclude the first-view compile/executable-load warmup the
+        # means absorb — the honest steady-state comparison.
+        "exact_s_per_view_median": float(np.median(exact_times)),
+        "fast_s_per_view_median": float(np.median(fast_times)),
+        "speedup_median": float(
+            np.median(exact_times) / max(np.median(fast_times), 1e-9)
+        ),
         "fast_vs_exact_psnr_db": float(np.mean(psnrs)),
         "grid_build_s": grid_build_s,
         "fast_first_view_incl_grid_s": warm_s,
