@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -38,6 +39,17 @@ class GroupNorm32(nn.Module):
         groups = min(self.num_groups, C)
         if C % groups:  # only reachable in non-reference channel configs
             groups = math.gcd(C, groups)
+        if x.ndim == 4 and 1 < x.shape[0] < 8:
+            # TPU: at B=2/4 XLA fuses the producer conv into this fp32 reduce
+            # with a layout that deoptimizes the conv — the whole 256^2 UNet
+            # stage ran 4.3x slower at B=2 than B=1. This barrier severs that
+            # fusion edge: res-block ratio 3.34 -> 1.93, full UNet B=2 123 ->
+            # 98 ms (scripts/probe_resblock_fix.py, /tmp/gnmm_probe.json). It
+            # is gated to the measured pathological window: B=1 pays ~7% and
+            # B=8 scales cleanly without it (160 -> 185 ms if applied), and a
+            # matmul-formulated GN reduce did not beat it. Identity for both
+            # values and gradients.
+            x = jax.lax.optimization_barrier(x)
         h = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
