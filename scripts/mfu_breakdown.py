@@ -115,10 +115,69 @@ def analytic_table(B: int):
     return rows, tot_f, tot_b, tot_ms
 
 
+def gn_probe(B: int, H: int = 256, C: int = 192, groups: int = 32, n: int = 50):
+    """GroupNorm formulation shootout at the hot 256^2/192 shape.
+
+    (a) flax fp32 GN (the shipping GroupNorm32 body)
+    (b) flax GN at bf16 end-to-end (stats precision risk — probe only)
+    (c) manual single-pass fp32 stats (mean, mean-of-squares) + bf16 apply
+    """
+    import time
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.normal(jax.random.key(0), (B, H, H, C), jnp.bfloat16)
+    scale = jnp.ones((C,), jnp.float32)
+    bias = jnp.zeros((C,), jnp.float32)
+
+    def flax_gn(dtype):
+        mod = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype)
+        p = mod.init(jax.random.key(1), x.astype(dtype))
+
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                return mod.apply(p, c.astype(dtype)).astype(jnp.bfloat16), ()
+            out, _ = jax.lax.scan(f=body, init=x, xs=None, length=n)
+            return out
+        return f
+
+    @jax.jit
+    def manual(x):
+        def body(c, _):
+            xg = c.reshape(B, H * H, groups, C // groups)
+            m = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)
+            m2 = jnp.mean(
+                xg.astype(jnp.float32) ** 2, axis=(1, 3), dtype=jnp.float32)
+            inv = jax.lax.rsqrt(m2 - m * m + 1e-5)          # (B, groups)
+            sc = jnp.repeat(inv, C // groups, -1) * scale    # (B, C)
+            sh = bias - jnp.repeat(m * inv, C // groups, -1) * scale
+            y = c * sc[:, None, None, :].astype(jnp.bfloat16) \
+                + sh[:, None, None, :].astype(jnp.bfloat16)
+            return y, ()
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out
+
+    results = {}
+    for name, f in (("flax_fp32", flax_gn(jnp.float32)),
+                    ("flax_bf16", flax_gn(jnp.bfloat16)),
+                    ("manual_1pass_bf16apply", manual)):
+        float(jnp.sum(f(x).astype(jnp.float32)))  # compile + sync
+        t0 = time.perf_counter()
+        float(jnp.sum(f(x).astype(jnp.float32)))
+        results[name] = round((time.perf_counter() - t0) / n * 1e3, 4)
+        print(f"  gn {name:<24} {results[name]:.4f} ms")
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--analytic_only", action="store_true")
+    ap.add_argument("--gn_probe", action="store_true",
+                    help="also run the GroupNorm formulation shootout")
     ap.add_argument("--out", default="runs/probes/mfu_breakdown.json")
     args = ap.parse_args()
     B = args.batch
@@ -200,6 +259,9 @@ def main():
             "xla_gbytes": xla_bytes / 1e9, "mfu": mfu,
             "roofline_gap": step_ms / tot_ms,
         }
+
+    if args.gn_probe:
+        result["gn_probe"] = gn_probe(B)
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
