@@ -1,0 +1,410 @@
+"""Stage-2 generative-quality campaign on the pinned synthetic benchmark.
+
+The stage-1 campaign (cli/quality_eval.py) proves reconstruction quality; this
+campaign proves the GENERATIVE half of the pipeline on real trained weights —
+the full reference flow end-to-end (README.md:104-167):
+
+1. EXPORT — the stage-1 campaign checkpoint's fitted tri-planes become
+   per-subject artifacts (the run_nerf_batch.py:321-330 -> triplane_datasets.py
+   file contract).
+2. FINE-TUNE — ``--ft_subjects`` EXTRA synthetic subjects are fitted against
+   the frozen campaign decoder (run_nerf_batch_ft.py flow, batched
+   concurrently; train/stage1_ft.py), growing the diffusion training set the
+   same way the reference grows it across its 100 subjects.
+3. PACK + TRAIN — all subjects but one pack into the memmap dataset; the
+   flagship ControlNet UNet trains on the (x, x_cond, y) layer triples
+   (scripts/image_train.py flow). The LAST subject is held out entirely.
+4. SAMPLE — the 4-layer chain generates at the B=8 batch sweet spot with
+   chain plane-fidelity reported (triplane_sample_layered.py:124-151 contract).
+5. SCORE — metrics no single piece gives:
+   - held-out vs train-set denoise loss per layer (eval/fidelity.py
+     ``heldout_denoise_loss``: deterministic stratified t-grid, the offline
+     analog of an eval loss),
+   - nearest-GT plane PSNR per layer (coverage/memorization indicator),
+   - image-space chain consistency: consecutive generated layers rendered
+     through the frozen stage-1 decoder (``decoded_fidelity``: changed-pixel
+     fraction, unchanged-region PSNR, occupancy persistence).
+6. REPORT — ``STAGE2.md`` + ``stage2_metrics.json``, regenerable by one
+   command (scripts/quality_stage2.sh).
+
+Every step skips itself when its artifact already exists, so the campaign is
+resumable after interruption (the axon tunnel's executor can wedge; see
+scripts/supervise_quality.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("humanliff quality-stage2")
+    p.add_argument("--out_dir", type=str, default="runs/quality",
+                   help="stage-1 campaign dir (quality_eval.py --out_dir)")
+    p.add_argument("--work_dir", type=str, default=None,
+                   help="default: {out_dir}/stage2")
+    # Stage-1 campaign geometry (must match quality_eval.py's pinned values).
+    p.add_argument("--num_instance", type=int, default=2)
+    p.add_argument("--image_size", type=int, default=128)
+    p.add_argument("--triplane_dim", type=int, default=256)
+    p.add_argument("--triplane_ch", type=int, default=27)
+    p.add_argument("--n_samples", type=int, default=128)
+    p.add_argument("--n_importance", type=int, default=128)
+    # Fine-tune leg.
+    p.add_argument("--ft_subjects", type=int, default=3,
+                   help="extra synthetic subjects fitted with the frozen "
+                        "decoder (0 skips the leg)")
+    p.add_argument("--ft_steps", type=int, default=1500)
+    p.add_argument("--ft_batch_size", type=int, default=1)
+    p.add_argument("--ft_n_rand", type=int, default=2048)
+    # Diffusion leg (flagship UNet geometry by default; overridable so the
+    # campaign is exercisable at tiny dims on the CPU mesh).
+    p.add_argument("--num_channels", type=int, default=192)
+    p.add_argument("--num_res_blocks", type=int, default=3)
+    p.add_argument("--attention_resolutions", type=str, default="32,16,8")
+    p.add_argument("--diff_steps", type=int, default=6000)
+    p.add_argument("--diff_batch_size", type=int, default=2)
+    p.add_argument("--diff_lr", type=float, default=1e-4)
+    p.add_argument("--save_interval", type=int, default=2000)
+    p.add_argument("--ema_rate", type=str, default="0.9999")
+    # Sampling / scoring leg.
+    p.add_argument("--num_samples", type=int, default=8)
+    p.add_argument("--sample_batch", type=int, default=8,
+                   help="B=8 is the measured single-chip batch sweet spot "
+                        "(docs/BATCH_PATHOLOGY.md)")
+    p.add_argument("--respacing", type=str, default="250")
+    p.add_argument("--decode_size", type=int, default=256)
+    p.add_argument("--fidelity_threshold", type=float, default=0.1)
+    p.add_argument("--n_eval_timesteps", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _export_campaign_planes(args, planes_dir: str):
+    """Stage-1 checkpoint -> per-subject plane npz (skips when present)."""
+    from humanliff_tpu.train import checkpoint as ckpt
+
+    paths = sorted(glob.glob(os.path.join(planes_dir, "campaign*.npz")))
+    if len(paths) == args.num_instance:
+        return paths
+    restored, step = ckpt.restore_state(os.path.join(args.out_dir, "train"))
+    if restored is None:
+        raise FileNotFoundError(
+            f"no stage-1 campaign checkpoint under {args.out_dir}/train — "
+            "run scripts/quality_eval.sh first"
+        )
+    params = ckpt.get_field(restored, "params")
+    planes = np.asarray(params["planes"], np.float32)  # (N, L, 3, C3, D, D)
+    print(f"[stage2] exporting {planes.shape[0]} campaign subjects "
+          f"(checkpoint step {step})")
+    paths = []
+    for i in range(planes.shape[0]):
+        path = os.path.join(planes_dir, f"campaign{i:04d}_{step:06d}.npz")
+        ckpt.save_subject_planes(path, planes[i], step)
+        paths.append(path)
+    return paths
+
+
+def main(argv=None):
+    from humanliff_tpu.utils.runtime import setup_runtime
+
+    setup_runtime()
+    args = build_parser().parse_args(argv)
+    work = args.work_dir or os.path.join(args.out_dir, "stage2")
+    planes_dir = os.path.join(work, "planes")
+    os.makedirs(planes_dir, exist_ok=True)
+
+    # ---- 1. Export the campaign subjects --------------------------------
+    campaign_paths = _export_campaign_planes(args, planes_dir)
+
+    # ---- 2. Fine-tune extra subjects against the frozen decoder ---------
+    ft_paths = sorted(
+        p for p in glob.glob(os.path.join(planes_dir, "subject*.npz"))
+    )
+    if args.ft_subjects > 0 and len(ft_paths) < args.ft_subjects:
+        from humanliff_tpu.cli import recon_ft
+
+        total = args.num_instance + args.ft_subjects
+        recon_ft.main([
+            "--data_set_type", "synthetic",
+            "--basedir", args.out_dir,
+            "--expname", "train",
+            "--num_instance", str(total),
+            "--start_idx", str(args.num_instance),
+            "--end_idx", str(total),
+            "--subjects_per_batch", str(args.ft_subjects),
+            "--ft_steps", str(args.ft_steps),
+            "--batch_size", str(args.ft_batch_size),
+            "--n_rand", str(args.ft_n_rand),
+            "--n_samples", str(args.n_samples),
+            "--n_importance", str(args.n_importance),
+            "--triplane_dim", str(args.triplane_dim),
+            "--triplane_ch", str(args.triplane_ch),
+            "--synthetic_image_size", str(args.image_size),
+            "--synthetic_tight_bounds", "true",
+            "--out_dir", planes_dir,
+            "--seed", str(args.seed),
+        ])
+        ft_paths = sorted(glob.glob(os.path.join(planes_dir, "subject*.npz")))
+
+    all_paths = campaign_paths + ft_paths
+    if len(all_paths) < 2:
+        raise RuntimeError("need >=2 subjects (1 train + 1 held out)")
+    train_paths, heldout_path = all_paths[:-1], all_paths[-1]
+    print(f"[stage2] {len(train_paths)} train subjects, "
+          f"held out: {os.path.basename(heldout_path)}")
+
+    # ---- 3. Pack + train the diffusion model ----------------------------
+    from humanliff_tpu.data.triplane_data import TriplaneDataset, pack_subject_planes
+
+    packed_train = os.path.join(work, "planes_train.npy")
+    packed_held = os.path.join(work, "planes_heldout.npy")
+    if not os.path.exists(packed_train):
+        pack_subject_planes(train_paths, packed_train)
+    if not os.path.exists(packed_held):
+        pack_subject_planes([heldout_path], packed_held)
+
+    diff_dir = os.path.join(work, "train")
+    from humanliff_tpu.cli import diff_train
+    from humanliff_tpu.train import checkpoint as ckpt
+
+    have_step = ckpt.latest_step(diff_dir) or 0
+    if have_step < args.diff_steps:
+        diff_train.main([
+            "--data_dir", packed_train,
+            "--logdir", diff_dir,
+            "--batch_size", str(args.diff_batch_size),
+            "--lr", str(args.diff_lr),
+            "--ema_rate", args.ema_rate,
+            "--total_steps", str(args.diff_steps),
+            "--save_interval", str(args.save_interval),
+            "--log_interval", "100",
+            "--image_size", str(args.triplane_dim),
+            "--in_channels", str(args.triplane_ch),
+            "--out_channels", str(args.triplane_ch),
+            "--num_channels", str(args.num_channels),
+            "--num_res_blocks", str(args.num_res_blocks),
+            "--attention_resolutions", args.attention_resolutions,
+            "--seed", str(args.seed),
+        ])
+
+    # ---- 4. Sample the layered chain (B=8 sweet spot) -------------------
+    samples_dir = os.path.join(work, "samples")
+    from humanliff_tpu.cli import diff_sample
+    from humanliff_tpu.sampling.layered import LAYER_NAMES
+
+    sample_files = {
+        name: os.path.join(samples_dir, f"samples_{name}.npz")
+        for name in LAYER_NAMES
+    }
+    if not all(os.path.exists(p) for p in sample_files.values()):
+        diff_sample.main([
+            "--model_dir", diff_dir,
+            "--ema_rate", args.ema_rate.split(",")[0],
+            "--out_dir", samples_dir,
+            "--all_layers",
+            "--num_samples", str(args.num_samples),
+            "--batch_size", str(args.sample_batch),
+            "--timestep_respacing", args.respacing,
+            "--report_fidelity",
+            "--fidelity_threshold", str(args.fidelity_threshold),
+            "--image_size", str(args.triplane_dim),
+            "--in_channels", str(args.triplane_ch),
+            "--out_channels", str(args.triplane_ch),
+            "--num_channels", str(args.num_channels),
+            "--num_res_blocks", str(args.num_res_blocks),
+            "--attention_resolutions", args.attention_resolutions,
+            "--seed", str(args.seed),
+        ])
+
+    samples = {
+        name: ckpt.load_samples_npz(path).astype(np.float32)
+        for name, path in sample_files.items()
+    }
+
+    # ---- 5. Score --------------------------------------------------------
+    import jax
+
+    from humanliff_tpu.eval.fidelity import (
+        decoded_fidelity,
+        heldout_denoise_loss,
+    )
+    from humanliff_tpu.models.factory import (
+        create_model_and_diffusion,
+        model_and_diffusion_defaults,
+    )
+
+    md = model_and_diffusion_defaults()
+    md.update(image_size=args.triplane_dim, in_channels=args.triplane_ch,
+              out_channels=args.triplane_ch, num_channels=args.num_channels,
+              num_res_blocks=args.num_res_blocks,
+              attention_resolutions=args.attention_resolutions)
+    model, diffusion = create_model_and_diffusion(**md)
+    object.__setattr__(diffusion, "channel_axis", -1)
+    restored, dstep = ckpt.restore_state(diff_dir)
+    ema = ckpt.get_field(restored, "ema_params")[args.ema_rate.split(",")[0]]
+    print(f"[stage2] scoring EMA weights at step {dstep}")
+
+    key = jax.random.key(args.seed + 7)
+
+    def plane_items(packed):
+        ds = TriplaneDataset(packed)
+        return [ds.item(i) for i in range(len(ds))]
+
+    held_items = plane_items(packed_held)
+    train_items = plane_items(packed_train)[: 4]  # first train subject
+    loss_held = heldout_denoise_loss(
+        model, ema, diffusion, held_items, key, args.n_eval_timesteps)
+    loss_train = heldout_denoise_loss(
+        model, ema, diffusion, train_items, key, args.n_eval_timesteps)
+    print(f"[stage2] denoise loss held-out {loss_held} / train {loss_train}")
+
+    # Nearest-GT plane PSNR per layer (NHWC [-1,1] space).
+    gt = np.load(packed_train, mmap_mode="r")  # (N, L, C, D, D)
+    nearest = {}
+    for li, name in enumerate(LAYER_NAMES):
+        arr = np.asarray(samples[name], np.float32)  # (B, D, D, C)
+        best = []
+        for b in range(arr.shape[0]):
+            x = arr[b].transpose(2, 0, 1)  # (C, D, D)
+            mses = [
+                float(((x - np.asarray(gt[s, li], np.float32)) ** 2).mean())
+                for s in range(gt.shape[0])
+            ]
+            best.append(-10.0 * np.log10(max(min(mses), 1e-12)))
+        nearest[name] = float(np.mean(best))
+
+    # Image-space chain consistency through the frozen stage-1 decoder.
+    from humanliff_tpu.data.raygen import full_image_rays
+    from humanliff_tpu.data.synthetic import SyntheticLayeredDataset
+    from humanliff_tpu.data.view_datasets import NovelViewCameras
+    from humanliff_tpu.nerf.decoder import NeRFDecoder
+    from humanliff_tpu.nerf.renderer import RenderConfig, render_image_masked
+    from humanliff_tpu.sampling.layered import planes_image_to_triplane
+    from humanliff_tpu.train.checkpoint import restore_state as _rs
+
+    s1, _ = _rs(os.path.join(args.out_dir, "train"))
+    dec_params = ckpt.get_field(s1, "params")["decoder"]
+    decoder = NeRFDecoder(d_in=args.triplane_ch)
+
+    # One shared box: union of the campaign/ft subjects' tight AABBs (the
+    # generated planes only exist in normalized plane space; any common box
+    # gives a consistent scene for a layer-pair comparison).
+    dsu = SyntheticLayeredDataset(
+        num_instances=args.num_instance + args.ft_subjects,
+        image_size=args.decode_size, tight_bounds=True)
+    boxes = np.stack([
+        dsu.instance_bounds(i)
+        for i in range(args.num_instance + args.ft_subjects)
+    ])
+    box = np.stack([boxes[:, 0].min(0), boxes[:, 1].max(0)])
+
+    import jax.numpy as jnp
+
+    S = args.decode_size
+    cams = NovelViewCameras(image_size=S)
+    K, R, T = cams.camera(0)
+    ro, rd, near, far, mask = full_image_rays(S, S, K, R, T, box)
+    cfg = RenderConfig(n_samples=args.n_samples, n_importance=args.n_importance,
+                       perturb=False, density_noise=False)
+
+    def render_layer(x_img):
+        planes = planes_image_to_triplane(jnp.asarray(x_img, jnp.float32))
+        out = render_image_masked(
+            decoder, dec_params, planes, ro, rd, near, far, mask,
+            jnp.asarray(box, jnp.float32), cfg, outputs=("rgb", "acc"),
+        )
+        return (np.asarray(out["rgb"], np.float32),
+                np.asarray(out["acc"], np.float32))
+
+    decoded = {}
+    rend = {name: render_layer(samples[name][0]) for name in LAYER_NAMES}
+    for prev, cur in zip(LAYER_NAMES[:-1], LAYER_NAMES[1:]):
+        rgb0, acc0 = rend[prev]
+        rgb1, acc1 = rend[cur]
+        decoded[f"{prev}->{cur}"] = decoded_fidelity(rgb1, acc1, rgb0, acc0)
+        print(f"[stage2] decoded {prev}->{cur}: {decoded[f'{prev}->{cur}']}")
+
+    with open(os.path.join(samples_dir, "fidelity.json")) as f:
+        plane_fid = json.load(f)
+
+    # ---- 6. Report -------------------------------------------------------
+    metrics = {
+        "diff_step": int(dstep),
+        "train_subjects": [os.path.basename(p) for p in train_paths],
+        "heldout_subject": os.path.basename(heldout_path),
+        "denoise_loss_heldout": loss_held,
+        "denoise_loss_train": loss_train,
+        "nearest_gt_psnr": nearest,
+        "plane_fidelity": plane_fid,
+        "decoded_fidelity": decoded,
+        "decode_box": box.tolist(),
+    }
+    with open(os.path.join(work, "stage2_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+
+    lines = [
+        "# STAGE2 — generative-quality campaign (synthetic benchmark)",
+        "",
+        f"Diffusion checkpoint: step {dstep}; campaign command: "
+        "`bash scripts/quality_stage2.sh`",
+        "",
+        f"Pipeline: stage-1 campaign planes ({len(campaign_paths)} subjects) "
+        f"+ {len(ft_paths)} frozen-decoder fine-tuned subjects "
+        f"(run_nerf_batch_ft.py flow) -> flagship ControlNet UNet trained "
+        f"{args.diff_steps} steps on {len(train_paths)} subjects x 4 layers "
+        f"(subject `{os.path.basename(heldout_path)}` fully held out) -> "
+        f"{args.num_samples}-sample 4-layer chain at B={args.sample_batch}, "
+        f"{args.respacing} respaced steps.",
+        "",
+        "## Held-out vs train denoise loss (stratified t-grid, "
+        f"{args.n_eval_timesteps} timesteps)",
+        "",
+        "| layer | held-out loss | train loss |",
+        "|---|---|---|",
+    ]
+    for li in sorted(loss_held):
+        lines.append(f"| {li} | {loss_held[li]:.5f} | "
+                     f"{loss_train.get(li, float('nan')):.5f} |")
+    lines += [
+        "",
+        "## Chain fidelity (generated layer k vs its x_cond layer k-1)",
+        "",
+        "| pair | change fraction | outside-change PSNR (planes) | "
+        "changed px fraction | unchanged PSNR (decoded) | occupancy "
+        "persistence |",
+        "|---|---|---|---|---|---|",
+    ]
+    for pair in plane_fid:
+        pf = plane_fid[pair]
+        df = decoded.get(pair, {})
+        lines.append(
+            f"| {pair} | {pf['change_fraction']:.3f} | "
+            f"{pf['outside_psnr']:.2f} | "
+            f"{df.get('changed_pixel_fraction', float('nan')):.3f} | "
+            f"{df.get('unchanged_psnr', float('nan')):.2f} | "
+            f"{df.get('occupancy_persistence', float('nan')):.3f} |"
+        )
+    lines += [
+        "",
+        "## Nearest-GT plane PSNR (coverage / sample realism)",
+        "",
+        "| layer | PSNR vs nearest train subject (dB) |",
+        "|---|---|",
+    ]
+    for name in LAYER_NAMES:
+        lines.append(f"| {name} | {nearest[name]:.2f} |")
+    lines.append("")
+    with open(os.path.join(work, "STAGE2.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"[stage2] wrote {work}/STAGE2.md")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -90,7 +90,8 @@ def main(argv=None):
             key, sub = jax.random.split(key)
             finetune_subject(
                 decoder, shared_params, make_subject_batches(subj), cfg,
-                FinetuneConfig(steps_per_layer=args.ft_steps),
+                FinetuneConfig(steps_per_layer=args.ft_steps,
+                               sync_every=args.dispatch_sync_every),
                 args.out_dir, f"subject{subj:04d}", sub, body_model,
             )
             print(f"finished subject {subj}")
@@ -109,7 +110,8 @@ def main(argv=None):
             finetune_subjects_batched(
                 decoder, shared_params,
                 lambda pos, layer, k: fns[pos](layer, k),
-                cfg, FinetuneConfig(steps_per_layer=args.ft_steps),
+                cfg, FinetuneConfig(steps_per_layer=args.ft_steps,
+                                    sync_every=args.dispatch_sync_every),
                 args.out_dir,
                 [f"subject{s:04d}" for s in chunk_subjects],
                 sub, body_model, mesh=mesh,

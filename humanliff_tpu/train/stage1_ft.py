@@ -29,6 +29,11 @@ class FinetuneConfig:
     plane_lr: float = 1e-1
     lr_decay_every: int = 500
     save_step: int = 2000
+    # Per-step scalar readback cadence. The tunneled remote executor wedges
+    # whenever a second program is dispatched while one is in flight (see
+    # cli/recon_train.py); strictly-serial dispatch (sync_every=1) is the only
+    # pattern that has never wedged on the axon tunnel. 0 disables.
+    sync_every: int = 1
 
 
 def finetune_subject(
@@ -72,6 +77,8 @@ def finetune_subject(
             state, aux = train_step(
                 state, batch, k_step, decoder, single_cfg, body_model
             )
+            if ft_cfg.sync_every and (step + 1) % ft_cfg.sync_every == 0:
+                float(aux["loss"])
             if log_every and (step + 1) % log_every == 0:
                 print(
                     f"[ft {subject_name} layer {layer}] step {step + 1} "
@@ -160,6 +167,8 @@ def finetune_subjects_batched(
             state, aux = train_step(
                 state, batch, k_step, decoder, ncfg, body_model
             )
+            if ft_cfg.sync_every and (step + 1) % ft_cfg.sync_every == 0:
+                float(aux["loss"])
             if log_every and (step + 1) % log_every == 0:
                 print(
                     f"[ft-batched x{N} layer {layer}] step {step + 1} "

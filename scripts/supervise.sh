@@ -1,0 +1,65 @@
+#!/bin/bash
+# Generic tunnel-hardened supervisor: run any resumable campaign command under
+# the wedge-detection loop of scripts/supervise_quality.sh (probe the TPU
+# claim, launch, SIGTERM + relaunch when log mtime AND /proc rchar are BOTH
+# frozen > STALL_S). The command must be checkpoint-resumable and must create
+# DONE_FILE when complete.
+#
+# Usage:
+#   DONE_FILE=runs/quality/stage2/STAGE2.md LOG=/tmp/stage2.log \
+#     bash scripts/supervise.sh python -u -m humanliff_tpu.cli.quality_stage2 ...
+set -u
+LOG=${LOG:-/tmp/supervised_campaign.log}
+DONE_FILE=${DONE_FILE:?set DONE_FILE to the artifact the campaign writes last}
+STALL_S=${STALL_S:-360}
+PIDFILE=${PIDFILE:-/tmp/supervised_campaign.pid}
+
+probe_tpu() {
+  for i in $(seq 1 40); do
+    if timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256)); print('TPU_OK', float(jnp.sum(x @ x)))
+" 2>/dev/null | grep -q TPU_OK; then
+      echo "[supervisor] TPU claim free (attempt $i)"
+      return 0
+    fi
+    sleep 20
+  done
+  echo "[supervisor] TPU never came back"; return 1
+}
+
+attempt=0
+while true; do
+  attempt=$((attempt + 1))
+  probe_tpu || exit 1
+  echo "[supervisor] launch attempt $attempt ($(date -u +%H:%M:%S)): $*"
+  "$@" >>"$LOG" 2>&1 &
+  PID=$!
+  echo $PID > "$PIDFILE"
+  last_rchar=0
+  frozen=0
+  while kill -0 $PID 2>/dev/null; do
+    sleep 60
+    rchar=$(grep '^rchar' /proc/$PID/io 2>/dev/null | awk '{print $2}')
+    age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ -n "$rchar" ] && [ "$rchar" = "$last_rchar" ] && [ "$age" -gt 120 ]; then
+      frozen=$((frozen + 60))
+    else
+      frozen=0
+    fi
+    last_rchar=${rchar:-0}
+    if [ "$frozen" -ge "$STALL_S" ]; then
+      echo "[supervisor] stall: log ${age}s stale, rchar frozen ${frozen}s — SIGTERM $PID"
+      kill -TERM $PID; sleep 20
+      kill -KILL $PID 2>/dev/null
+      break
+    fi
+  done
+  wait $PID 2>/dev/null
+  rc=$?
+  if [ -f "$DONE_FILE" ] && [ "$DONE_FILE" -nt "$PIDFILE" ]; then
+    echo "[supervisor] campaign complete (rc=$rc) — $DONE_FILE written"
+    exit 0
+  fi
+  echo "[supervisor] relaunching (rc=$rc)"
+done

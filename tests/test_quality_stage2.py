@@ -1,0 +1,125 @@
+"""The stage-2 generative-quality campaign CLI end-to-end at tiny dims (CPU).
+
+Exercises every leg of cli/quality_stage2.py — campaign-plane export,
+frozen-decoder fine-tune of an extra subject, held-out pack split, diffusion
+training, B-batched chain sampling with fidelity, and the scoring/report
+stage — against a tiny stage-1 checkpoint trained in-process.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
+
+from humanliff_tpu.data.synthetic import SyntheticLayeredDataset
+from humanliff_tpu.nerf.decoder import NeRFDecoder
+from humanliff_tpu.nerf.renderer import RenderConfig
+from humanliff_tpu.train import checkpoint as ckpt
+from humanliff_tpu.train.optim import make_stage1_optimizer
+from humanliff_tpu.train.stage1 import Stage1Config, TrainState, init_params, train_step
+
+
+def test_quality_stage2_campaign(tmp_path):
+    # CH=9 -> 3 channels/plane (the packed tri-plane gather needs C3 % 3 == 0).
+    D, CH, IMG = 16, 9, 24
+    out = str(tmp_path / "quality")
+    expdir = os.path.join(out, "train")
+
+    # ---- Tiny stage-1 "campaign" checkpoint -----------------------------
+    cfg = Stage1Config(
+        num_instances=2, num_layers=4, triplane_dim=D, triplane_ch=CH,
+        render=RenderConfig(n_samples=8, n_importance=8),
+        tv_loss_coef=1e-5, l1_loss_coef=1e-5,
+    )
+    decoder = NeRFDecoder(d_in=CH)
+    ds = SyntheticLayeredDataset(num_instances=2, n_rays=64, image_size=IMG,
+                                 tight_bounds=True)
+    tx = make_stage1_optimizer(plane_lr=5e-2)
+    params = init_params(jax.random.key(0), cfg, decoder)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), tx=tx)
+    rng = np.random.default_rng(0)
+    key = jax.random.key(1)
+    for _ in range(10):
+        items = [ds.item(int(j), rng) for j in rng.integers(0, len(ds), 2)]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        key, sub = jax.random.split(key)
+        state, _ = train_step(state, batch, sub, decoder, cfg)
+    ckpt.save_state(expdir, 10, state)
+
+    # ---- The campaign CLI end-to-end ------------------------------------
+    from humanliff_tpu.cli import quality_stage2
+
+    quality_stage2.main([
+        "--out_dir", out,
+        "--num_instance", "2",
+        "--image_size", str(IMG),
+        "--triplane_dim", str(D),
+        "--triplane_ch", str(CH),
+        "--n_samples", "8",
+        "--n_importance", "8",
+        "--ft_subjects", "1",
+        "--ft_steps", "4",
+        "--ft_n_rand", "64",
+        "--num_channels", "16",
+        "--num_res_blocks", "1",
+        "--attention_resolutions", "8",
+        "--diff_steps", "4",
+        "--diff_batch_size", "8",
+        "--save_interval", "4",
+        "--num_samples", "2",
+        "--sample_batch", "2",
+        "--respacing", "4",
+        "--decode_size", "24",
+        "--n_eval_timesteps", "2",
+        "--seed", "0",
+    ])
+
+    work = os.path.join(out, "stage2")
+    # Artifacts: exported campaign planes + the fine-tuned subject.
+    planes = sorted(os.listdir(os.path.join(work, "planes")))
+    assert sum(p.startswith("campaign") for p in planes) == 2
+    assert sum(p.startswith("subject") for p in planes) == 1
+
+    # Held-out split: 2 campaign + 1 ft subject -> 2 train / 1 held out.
+    tr = np.load(os.path.join(work, "planes_train.npy"), mmap_mode="r")
+    he = np.load(os.path.join(work, "planes_heldout.npy"), mmap_mode="r")
+    assert tr.shape == (2, 4, CH, D, D) and he.shape == (1, 4, CH, D, D)
+
+    with open(os.path.join(work, "stage2_metrics.json")) as f:
+        metrics = json.load(f)
+    assert metrics["heldout_subject"].startswith("subject")
+    # Denoise losses finite for all four layers, both splits.
+    for split in ("denoise_loss_heldout", "denoise_loss_train"):
+        assert sorted(int(k) for k in metrics[split]) == [0, 1, 2, 3]
+        assert all(np.isfinite(v) for v in metrics[split].values())
+    # Chain fidelity present for the three consecutive pairs, both spaces.
+    assert len(metrics["plane_fidelity"]) == 3
+    assert len(metrics["decoded_fidelity"]) == 3
+    for m in metrics["decoded_fidelity"].values():
+        assert 0.0 <= m["occupancy_persistence"] <= 1.0
+        assert np.isfinite(m["unchanged_psnr"])
+    assert all(np.isfinite(v) for v in metrics["nearest_gt_psnr"].values())
+
+    report = open(os.path.join(work, "STAGE2.md")).read()
+    assert "held-out" in report and "Chain fidelity" in report
+
+    # Re-running skips every completed leg (resume contract) and reproduces
+    # the report.
+    quality_stage2.main([
+        "--out_dir", out, "--num_instance", "2",
+        "--image_size", str(IMG), "--triplane_dim", str(D),
+        "--triplane_ch", str(CH), "--n_samples", "8", "--n_importance", "8",
+        "--ft_subjects", "1", "--ft_steps", "4", "--ft_n_rand", "64",
+        "--num_channels", "16", "--num_res_blocks", "1",
+        "--attention_resolutions", "8", "--diff_steps", "4",
+        "--diff_batch_size", "8", "--save_interval", "4",
+        "--num_samples", "2", "--sample_batch", "2", "--respacing", "4",
+        "--decode_size", "24", "--n_eval_timesteps", "2", "--seed", "0",
+    ])
+    assert os.path.exists(os.path.join(work, "STAGE2.md"))
