@@ -14,6 +14,9 @@ COMMANDS = {
     "image-sample": "humanliff_tpu.cli.image_sample",
     "sr-train": "humanliff_tpu.cli.sr_train",
     "sr-sample": "humanliff_tpu.cli.sr_sample",
+    "quality-eval": "humanliff_tpu.cli.quality_eval",
+    "quality-stage2": "humanliff_tpu.cli.quality_stage2",
+    "bench-decode": "humanliff_tpu.cli.bench_decode",
 }
 
 
