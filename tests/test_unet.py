@@ -179,3 +179,15 @@ def test_factory_flagship_config_builds():
     )
     out = model.apply(params, x, jnp.zeros((1,)), x, jnp.zeros((1,), jnp.int32))
     assert out.shape == x.shape
+
+
+@pytest.mark.parametrize("B,expect_barrier", [(1, False), (2, True),
+                                              (4, True), (8, False)])
+def test_groupnorm_barrier_gated_to_pathological_batches(B, expect_barrier):
+    """The conv->fp32-GroupNorm fusion barrier (docs/BATCH_PATHOLOGY.md) must
+    fire ONLY in the measured pathological window 1 < B < 8: B=1 would pay ~7%
+    for nothing and B=8 regresses 160->185 ms with it."""
+    model = _tiny_unet()
+    params, x, t, xc, y = _init(model, B=B)
+    hlo = jax.jit(model.apply).lower(params, x, t, xc, y).as_text()
+    assert ("optimization_barrier" in hlo) == expect_barrier, (B, expect_barrier)
