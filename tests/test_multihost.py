@@ -43,7 +43,9 @@ def _run_two_process(mode: str):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            # Generous: two cold jax imports on a loaded single-core host
+            # exceed 180 s (observed flake under a concurrent TPU campaign).
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
