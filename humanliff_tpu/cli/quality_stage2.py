@@ -331,8 +331,14 @@ def main(argv=None):
         decoded[f"{prev}->{cur}"] = decoded_fidelity(rgb1, acc1, rgb0, acc0)
         print(f"[stage2] decoded {prev}->{cur}: {decoded[f'{prev}->{cur}']}")
 
-    with open(os.path.join(samples_dir, "fidelity.json")) as f:
-        plane_fid = json.load(f)
+    fid_path = os.path.join(samples_dir, "fidelity.json")
+    if os.path.exists(fid_path):
+        with open(fid_path) as f:
+            plane_fid = json.load(f)
+    else:  # samples from a partial earlier run without --report_fidelity
+        from humanliff_tpu.eval.fidelity import chain_fidelity_report
+
+        plane_fid = chain_fidelity_report(samples, args.fidelity_threshold)
 
     # ---- 6. Report -------------------------------------------------------
     metrics = {

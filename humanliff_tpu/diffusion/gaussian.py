@@ -58,6 +58,42 @@ def _extract(arr: np.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return out.reshape(t.shape[0], *([1] * (ndim - 1)))
 
 
+_PROG_STEP_CACHE: dict = {}
+
+
+def _progressive_step_fn(diff, kind: str, clip_denoised: bool, eta: float,
+                         model_fn):
+    """Cached per-step jit for the progressive sampling loops.
+
+    When ``model_fn`` is a ``jax.tree_util.Partial`` its bound args (the model
+    params) enter the jit as TRACED pytree arguments, so one compilation is
+    shared across layers/batches and nothing large embeds as an HLO constant.
+    A plain closure falls back to closure capture (cached by the closure's
+    identity; the cache entry keeps it alive so ids never collide).
+    """
+    is_partial = isinstance(model_fn, jax.tree_util.Partial)
+    key = (id(diff), kind, clip_denoised, eta,
+           "partial" if is_partial else id(model_fn))
+    fn = _PROG_STEP_CACHE.get(key)
+    if fn is None:
+        def body(mf, x, x_cond, t, k, mkw):
+            if kind == "ddim":
+                return diff.ddim_sample(mf, x, x_cond, t, k, clip_denoised,
+                                        eta, mkw)
+            return diff.p_sample(mf, x, x_cond, t, k, clip_denoised, mkw)
+
+        if is_partial:
+            fn = jax.jit(body)
+        else:
+            jitted = jax.jit(
+                lambda x, x_cond, t, k, mkw: body(model_fn, x, x_cond, t, k,
+                                                  mkw)
+            )
+            fn = lambda _mf, *args: jitted(*args)
+        _PROG_STEP_CACHE[key] = fn
+    return fn
+
+
 @dataclass(frozen=True, eq=False)
 class GaussianDiffusion:
     betas: np.ndarray
@@ -296,9 +332,15 @@ class GaussianDiffusion:
         across all T steps (x and x_cond are traced arguments, never closure
         constants); :meth:`p_sample_loop` (a single compiled scan) remains the
         fast non-progressive path.
+
+        Pass ``model_fn`` as a ``jax.tree_util.Partial`` binding the params
+        (``Partial(apply_fn, params)``) so they enter the per-step jit as
+        traced arguments; a plain closure still works but embeds its params as
+        HLO constants — minutes of remote compile at flagship scale on
+        tunneled backends.
         """
         yield from self._progressive_loop(
-            self.p_sample, model_fn, shape, key, x_cond, noise, clip_denoised,
+            "ancestral", model_fn, shape, key, x_cond, noise, clip_denoised,
             model_kwargs,
         )
 
@@ -315,34 +357,24 @@ class GaussianDiffusion:
     ):
         """DDIM twin of :meth:`p_sample_loop_progressive`
         (gaussian_diffusion.py:617-651)."""
-
-        def sample_fn(model_fn, x, x_cond, t, k, clip_denoised, model_kwargs):
-            return self.ddim_sample(
-                model_fn, x, x_cond, t, k, clip_denoised, eta, model_kwargs
-            )
-
         yield from self._progressive_loop(
-            sample_fn, model_fn, shape, key, x_cond, noise, clip_denoised,
-            model_kwargs,
+            "ddim", model_fn, shape, key, x_cond, noise, clip_denoised,
+            model_kwargs, eta=eta,
         )
 
     def _progressive_loop(
-        self, sample_fn, model_fn, shape, key, x_cond, noise, clip_denoised,
-        model_kwargs,
+        self, kind, model_fn, shape, key, x_cond, noise, clip_denoised,
+        model_kwargs, eta=0.0,
     ):
         k_init, k_loop = jax.random.split(key)
         x = jax.random.normal(k_init, shape) if noise is None else noise
+        model_kwargs = model_kwargs or {}
 
-        @jax.jit
-        def step(x, x_cond, t, k):
-            return sample_fn(
-                model_fn, x, x_cond, t, k, clip_denoised, model_kwargs
-            )
-
+        step = _progressive_step_fn(self, kind, clip_denoised, eta, model_fn)
         keys = jax.random.split(k_loop, self.num_timesteps)
         for i, t_scalar in enumerate(range(self.num_timesteps - 1, -1, -1)):
             t = jnp.full((shape[0],), t_scalar, jnp.int32)
-            x, pred_x0 = step(x, x_cond, t, keys[i])
+            x, pred_x0 = step(model_fn, x, x_cond, t, keys[i], model_kwargs)
             yield {"sample": x, "pred_xstart": pred_x0}
 
     # ---------------- DDIM ----------------

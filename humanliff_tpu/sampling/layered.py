@@ -117,6 +117,23 @@ def generate_layer(
     )
 
 
+_MODEL_APPLY_CACHE: dict = {}
+
+
+def _model_apply_fn(model):
+    """Stable-identity ``apply(params, x, ts, xc, y)`` wrapper per model, so
+    ``jax.tree_util.Partial(fn, params)`` keeps one jit treedef across
+    layers/batches (the cache entry also keeps ``model`` alive, so ids never
+    collide)."""
+    fn = _MODEL_APPLY_CACHE.get(id(model))
+    if fn is None:
+        def fn(params, x, ts, xc, y):
+            return model.apply(params, x, ts, xc, y)
+
+        _MODEL_APPLY_CACHE[id(model)] = fn
+    return fn
+
+
 def generate_layer_progressive(
     model,
     params,
@@ -138,6 +155,12 @@ def generate_layer_progressive(
     final step) — the jax form of the reference's yield-per-step
     ``p_sample_loop_progressive`` (gaussian_diffusion.py:445-482), used for
     visualization/debugging of the chain.
+
+    Params ride in a ``jax.tree_util.Partial`` (traced jit arguments — a plain
+    closure would embed them as HLO constants and stall remote compiles), and
+    each step is synced by a scalar readback: the tunneled executor wedges
+    when dispatch runs ahead, and this debug path values robustness over the
+    ~35 ms/step readback cost.
     """
     import numpy as np
 
@@ -146,8 +169,7 @@ def generate_layer_progressive(
         x_cond = jnp.zeros(shape, jnp.float32)
     y = jnp.full((batch_size,), layer_idx, jnp.int32)
 
-    def model_fn(x, ts, xc, y=y):
-        return model.apply(params, x, ts, xc, y)
+    model_fn = jax.tree_util.Partial(_model_apply_fn(model), params)
 
     loop = (
         diffusion.ddim_sample_loop_progressive
@@ -162,6 +184,7 @@ def generate_layer_progressive(
              model_kwargs={"y": y})
     ):
         x = out["sample"]
+        float(x.ravel()[0])  # strictly-serial dispatch (tunnel wedge safety)
         t = T - 1 - i
         if i % max(record_every, 1) == 0 or t == 0:
             traj.append((t, np.asarray(out["pred_xstart"])))

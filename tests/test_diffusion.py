@@ -228,6 +228,40 @@ def test_ddim_sample_loop_progressive_matches_scan_loop():
     )
 
 
+def test_progressive_loop_partial_model_fn_matches_closure():
+    """A ``jax.tree_util.Partial`` model_fn (params as traced jit args — the
+    flagship-scale path; a closure would embed params as HLO constants) must
+    produce the same chain as the plain-closure fallback, sharing ONE cache
+    entry across different param values."""
+    from humanliff_tpu.diffusion.gaussian import _PROG_STEP_CACHE
+
+    d = create_diffusion(steps=12)
+    key = jax.random.key(3)
+
+    def apply_fn(params, x, ts, xc):
+        return params["scale"] * x
+
+    closure = lambda x, ts, xc: 0.1 * x
+    ref = [
+        np.asarray(o["sample"])
+        for o in d.p_sample_loop_progressive(closure, (1, 4, 4, 3), key,
+                                             clip_denoised=False)
+    ]
+
+    for scale in (0.1, 0.1):  # two calls, distinct param pytrees
+        mf = jax.tree_util.Partial(apply_fn, {"scale": jnp.float32(scale)})
+        out = [
+            np.asarray(o["sample"])
+            for o in d.p_sample_loop_progressive(mf, (1, 4, 4, 3), key,
+                                                 clip_denoised=False)
+        ]
+        np.testing.assert_allclose(out[-1], ref[-1], rtol=1e-5, atol=1e-5)
+
+    partial_keys = [k for k in _PROG_STEP_CACHE if k[0] == id(d) and
+                    k[-1] == "partial"]
+    assert len(partial_keys) == 1  # one jit shared across param values
+
+
 def test_generate_layer_progressive_records_trajectory():
     from humanliff_tpu.models.unet import UNetModel
     from humanliff_tpu.sampling.layered import generate_layer_progressive

@@ -110,7 +110,10 @@ def test_quality_stage2_campaign(tmp_path):
     assert "held-out" in report and "Chain fidelity" in report
 
     # Re-running skips every completed leg (resume contract) and reproduces
-    # the report.
+    # the report — with fidelity.json removed, to exercise the recompute
+    # fallback for samples from a partial run without --report_fidelity.
+    os.remove(os.path.join(work, "samples", "fidelity.json"))
+    os.remove(os.path.join(work, "STAGE2.md"))
     quality_stage2.main([
         "--out_dir", out, "--num_instance", "2",
         "--image_size", str(IMG), "--triplane_dim", str(D),
@@ -123,3 +126,5 @@ def test_quality_stage2_campaign(tmp_path):
         "--decode_size", "24", "--n_eval_timesteps", "2", "--seed", "0",
     ])
     assert os.path.exists(os.path.join(work, "STAGE2.md"))
+    with open(os.path.join(work, "stage2_metrics.json")) as f:
+        assert len(json.load(f)["plane_fidelity"]) == 3
