@@ -87,12 +87,28 @@ def build_parser():
 
 
 def _export_campaign_planes(args, planes_dir: str):
-    """Stage-1 checkpoint -> per-subject plane npz (skips when present)."""
+    """Stage-1 checkpoint -> per-subject plane npz.
+
+    Skips only when the existing exports were produced by the CURRENT latest
+    stage-1 checkpoint (the producing step is embedded in the filename); if the
+    stage-1 campaign advanced since, the stale exports are removed and
+    re-exported so every downstream artifact traces to one checkpoint step.
+    """
     from humanliff_tpu.train import checkpoint as ckpt
 
     paths = sorted(glob.glob(os.path.join(planes_dir, "campaign*.npz")))
-    if len(paths) == args.num_instance:
+    latest = ckpt.latest_step(os.path.join(args.out_dir, "train"))
+    want = [
+        os.path.join(planes_dir, f"campaign{i:04d}_{latest:06d}.npz")
+        for i in range(args.num_instance)
+    ] if latest is not None else []
+    if paths and paths == want:
         return paths
+    for stale in paths:
+        if stale not in want:
+            print(f"[stage2] removing stale export {os.path.basename(stale)} "
+                  f"(stage-1 checkpoint is now {latest})")
+            os.remove(stale)
     restored, step = ckpt.restore_state(os.path.join(args.out_dir, "train"))
     if restored is None:
         raise FileNotFoundError(
@@ -203,7 +219,26 @@ def main(argv=None):
         name: os.path.join(samples_dir, f"samples_{name}.npz")
         for name in LAYER_NAMES
     }
-    if not all(os.path.exists(p) for p in sample_files.values()):
+    # Samples are valid only if produced by the CURRENT latest diffusion
+    # checkpoint: a raised --diff_steps (or resumed training) advances the
+    # checkpoint, and scoring new weights against old samples would stamp an
+    # inconsistent report. The producing step rides in a sidecar meta file.
+    meta_path = os.path.join(samples_dir, "samples_meta.json")
+    latest_diff = ckpt.latest_step(diff_dir) or 0
+    produced_by = -1
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            produced_by = json.load(f).get("diff_step", -1)
+    have_all = all(os.path.exists(p) for p in sample_files.values())
+    if have_all and produced_by != latest_diff:
+        print(f"[stage2] resampling: existing samples from diff step "
+              f"{produced_by}, checkpoint is now {latest_diff}")
+        for p in list(sample_files.values()) + [
+                os.path.join(samples_dir, "fidelity.json")]:
+            if os.path.exists(p):
+                os.remove(p)
+        have_all = False
+    if not have_all:
         diff_sample.main([
             "--model_dir", diff_dir,
             "--ema_rate", args.ema_rate.split(",")[0],
@@ -222,6 +257,8 @@ def main(argv=None):
             "--attention_resolutions", args.attention_resolutions,
             "--seed", str(args.seed),
         ])
+        with open(meta_path, "w") as f:
+            json.dump({"diff_step": ckpt.latest_step(diff_dir) or 0}, f)
 
     samples = {
         name: ckpt.load_samples_npz(path).astype(np.float32)

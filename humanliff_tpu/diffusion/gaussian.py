@@ -12,6 +12,7 @@ Model callable convention: ``model_fn(x, t_scaled, x_cond, y) -> output`` where
 
 from __future__ import annotations
 
+import collections
 import enum
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, Optional
@@ -58,7 +59,16 @@ def _extract(arr: np.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return out.reshape(t.shape[0], *([1] * (ndim - 1)))
 
 
-_PROG_STEP_CACHE: dict = {}
+# LRU-bounded: entries pin the diffusion object (and, on the closure path, the
+# model_fn with everything it captures — potentially a full param pytree) plus
+# the compiled executable, so an unbounded dict would leak one flagship-sized
+# param set per fresh closure in a long-lived process. Each cached fn closes
+# over its diff/model_fn, so ids of LIVE entries can never be reused; eviction
+# drops both the pin and jit's compilation cache entry. Library callers should
+# prefer ``jax.tree_util.Partial`` (params ride as traced args -> one shared
+# entry, nothing large pinned).
+_PROG_STEP_CACHE: collections.OrderedDict = collections.OrderedDict()
+_PROG_STEP_CACHE_MAX = 16
 
 
 def _progressive_step_fn(diff, kind: str, clip_denoised: bool, eta: float,
@@ -69,12 +79,16 @@ def _progressive_step_fn(diff, kind: str, clip_denoised: bool, eta: float,
     params) enter the jit as TRACED pytree arguments, so one compilation is
     shared across layers/batches and nothing large embeds as an HLO constant.
     A plain closure falls back to closure capture (cached by the closure's
-    identity; the cache entry keeps it alive so ids never collide).
+    identity; the cache entry keeps it alive so ids never collide while
+    cached — but each such entry pins the closure's captured params until
+    LRU eviction, so prefer Partial in long-lived processes).
     """
     is_partial = isinstance(model_fn, jax.tree_util.Partial)
     key = (id(diff), kind, clip_denoised, eta,
            "partial" if is_partial else id(model_fn))
     fn = _PROG_STEP_CACHE.get(key)
+    if fn is not None:
+        _PROG_STEP_CACHE.move_to_end(key)
     if fn is None:
         def body(mf, x, x_cond, t, k, mkw):
             if kind == "ddim":
@@ -91,6 +105,8 @@ def _progressive_step_fn(diff, kind: str, clip_denoised: bool, eta: float,
             )
             fn = lambda _mf, *args: jitted(*args)
         _PROG_STEP_CACHE[key] = fn
+        while len(_PROG_STEP_CACHE) > _PROG_STEP_CACHE_MAX:
+            _PROG_STEP_CACHE.popitem(last=False)
     return fn
 
 

@@ -12,6 +12,7 @@ to images through the frozen Stage-1 renderer.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import partial
 from typing import Callable, Dict, List, Optional
 
@@ -117,20 +118,32 @@ def generate_layer(
     )
 
 
-_MODEL_APPLY_CACHE: dict = {}
+# LRU-bounded (each cached wrapper closes over its model, so ids of LIVE
+# entries can never be reused; eviction drops the pin and any jit compilation
+# cache entries keyed on the wrapper). Models here are flax module DEFINITIONS
+# (small config dataclasses, no params), so the bound is about executable
+# lifetime, not memory pressure — params always ride in the Partial as traced
+# arguments.
+_MODEL_APPLY_CACHE: OrderedDict = OrderedDict()
+_MODEL_APPLY_CACHE_MAX = 8
 
 
 def _model_apply_fn(model):
     """Stable-identity ``apply(params, x, ts, xc, y)`` wrapper per model, so
     ``jax.tree_util.Partial(fn, params)`` keeps one jit treedef across
     layers/batches (the cache entry also keeps ``model`` alive, so ids never
-    collide)."""
+    collide while cached)."""
     fn = _MODEL_APPLY_CACHE.get(id(model))
-    if fn is None:
-        def fn(params, x, ts, xc, y):
-            return model.apply(params, x, ts, xc, y)
+    if fn is not None:
+        _MODEL_APPLY_CACHE.move_to_end(id(model))
+        return fn
 
-        _MODEL_APPLY_CACHE[id(model)] = fn
+    def fn(params, x, ts, xc, y):
+        return model.apply(params, x, ts, xc, y)
+
+    _MODEL_APPLY_CACHE[id(model)] = fn
+    while len(_MODEL_APPLY_CACHE) > _MODEL_APPLY_CACHE_MAX:
+        _MODEL_APPLY_CACHE.popitem(last=False)
     return fn
 
 
