@@ -156,8 +156,10 @@ def main() -> None:
     # (triplane_scripts/SynBody_triplane_sample_layered_*.sh). Single-chip
     # batching is only clean at B=1 and B=8 (B=2/4 hit an XLA tiling
     # pathology — see scripts/probe_unet_batch.py); measure one 250-step
-    # layer chain at B=8 and report the best 25x4 strategy.
-    from humanliff_tpu.sampling.layered import generate_layer
+    # layer chain at B=8 and cost the strategies from the measured chain
+    # primitives. The MIXED plan (sampling/layered.plan_workload DP:
+    # [8, 8, 8, 1] for N=25) is what generate_workload actually executes.
+    from humanliff_tpu.sampling.layered import generate_layer, plan_workload
 
     def one_layer_chain(B, key):
         out = generate_layer(
@@ -170,9 +172,13 @@ def main() -> None:
     one_layer_chain(8, jax.random.key(6))
     layer_b8_s = time.perf_counter() - t0
 
+    layer_b1_s = generation_s / 4.0
+    measured_costs = {1: layer_b1_s, 8: layer_b8_s}
     naive_25x4_s = 25.0 * generation_s  # 25 sequential B=1 4-layer chains
     batched_25x4_s = float(np.ceil(25 / 8)) * 4.0 * layer_b8_s
-    workload_25x4_s = min(naive_25x4_s, batched_25x4_s)
+    mixed_plan = plan_workload(25, measured_costs)
+    mixed_25x4_s = 4.0 * sum(measured_costs[b] for b in mixed_plan)
+    workload_25x4_s = min(naive_25x4_s, batched_25x4_s, mixed_25x4_s)
 
     # ---- 3. 512^2 novel-view render of the final generated layer -------------
     S = 512
@@ -238,6 +244,8 @@ def main() -> None:
                 "workload_25x4_generation_s": round(workload_25x4_s, 1),
                 "workload_25x4_naive_b1_s": round(naive_25x4_s, 1),
                 "workload_25x4_batched_b8_s": round(batched_25x4_s, 1),
+                "workload_25x4_mixed_s": round(mixed_25x4_s, 1),
+                "workload_25x4_plan": mixed_plan,
             }
         )
     )

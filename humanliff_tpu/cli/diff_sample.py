@@ -44,6 +44,12 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--layer_idx", type=int, default=0)
     p.add_argument("--all_layers", action="store_true")
+    p.add_argument("--auto_plan", type=lambda s: s.lower() == "true",
+                   default=False,
+                   help="all_layers mode: ignore --batch_size and split "
+                        "--num_samples by the measured-cost DP plan over the "
+                        "clean B=1/B=8 operating points "
+                        "(sampling/layered.plan_workload)")
     p.add_argument("--sample_npz", type=str, default=None,
                    help="previous layer's samples npz (x_cond)")
     p.add_argument("--use_ddim", type=lambda s: s.lower() == "true", default=False)
@@ -347,20 +353,33 @@ def main(argv=None):
         parallel_mesh = make_mesh()
 
     if args.all_layers:
+        if args.auto_plan and not args.parallel_window:
+            # Mixed-batch DP plan over the clean operating points (B=1/B=8):
+            # e.g. N=25 -> [8, 8, 8, 1], ~9% faster than naive B=1 and ~17%
+            # faster than pure B=8 with its pad-to-32 waste (VERDICT r3).
+            from humanliff_tpu.sampling.layered import plan_workload
+
+            plan = plan_workload(args.num_samples)
+            print(f"[plan] mixed-batch plan for {args.num_samples}: {plan}")
+        else:
+            import math
+
+            plan = [args.batch_size] * math.ceil(
+                args.num_samples / args.batch_size)
         all_samples = {name: [] for name in LAYER_NAMES}
         done = 0
-        while done < args.num_samples:
+        for B in plan:
             key, sub = jax.random.split(key)
             layers = generate_all_layers(
-                model, params, diffusion, sub, batch_size=args.batch_size,
+                model, params, diffusion, sub, batch_size=B,
                 image_size=S, channels=C, use_ddim=args.use_ddim,
                 parallel_window=args.parallel_window,
                 parallel_tol=args.parallel_tol, parallel_mesh=parallel_mesh,
             )
             for name, x in layers.items():
                 all_samples[name].append(np.asarray(x))
-            done += args.batch_size
-            print(f"sampled {done}/{args.num_samples}")
+            done += B
+            print(f"sampled {min(done, args.num_samples)}/{args.num_samples}")
         for k_name, chunks in all_samples.items():
             arr = np.concatenate(chunks)[: args.num_samples]
             path = os.path.join(args.out_dir, f"samples_{k_name}.npz")

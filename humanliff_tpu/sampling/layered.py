@@ -250,6 +250,92 @@ def generate_layer_sharded(
     return jax.device_put(samples, repl)  # gather: every device holds all samples
 
 
+# Measured single-chip per-layer chain costs (seconds for one 250-step DDPM
+# layer chain at the flagship 256x256x27 geometry, BENCH_r03): B=1 5.5 s,
+# B=8 38.1 s. Only B=1 and B=8 are clean operating points — B=2..7 hit the
+# XLA conv-tiling pathology (docs/BATCH_PATHOLOGY.md), so the planner never
+# proposes them unless the caller supplies measured costs for them.
+DEFAULT_CHAIN_COSTS: Dict[int, float] = {1: 5.5, 8: 38.1}
+
+
+def plan_workload(num_samples: int,
+                  chain_costs: Optional[Dict[int, float]] = None) -> List[int]:
+    """Optimal partition of an N-sample workload into per-chain batch sizes.
+
+    The reference's sample script runs 25 subjects x 4 layers strictly at B=1
+    (triplane_scripts/SynBody_triplane_sample_layered_*.sh); pure B=8 batching
+    loses on N=25 because 25 pads to 4 full chains (32 samples' work). This
+    solves the covering problem exactly by DP: ``cost[n]`` = cheapest set of
+    chains whose batch sizes sum to >= n (overshoot = padded samples, allowed),
+    drawn from the measured ``chain_costs`` table. For the 25x4 workload the
+    plan is [8, 8, 8, 1] — ~9% faster than naive B=1 and ~17% faster than pure
+    B=8 (VERDICT r3 item 4).
+
+    Returns the list of batch sizes, largest first.
+    """
+    costs = dict(chain_costs or DEFAULT_CHAIN_COSTS)
+    if num_samples <= 0:
+        return []
+    best = [0.0] + [float("inf")] * num_samples
+    choice = [0] * (num_samples + 1)
+    for n in range(1, num_samples + 1):
+        for b, c in costs.items():
+            prev = best[max(n - b, 0)] + c
+            if prev < best[n]:
+                best[n] = prev
+                choice[n] = b
+    plan = []
+    n = num_samples
+    while n > 0:
+        plan.append(choice[n])
+        n = max(n - choice[n], 0)
+    return sorted(plan, reverse=True)
+
+
+def generate_workload(
+    model,
+    params,
+    diffusion: GaussianDiffusion,
+    key: jax.Array,
+    num_samples: int,
+    image_size: int = 256,
+    channels: int = 27,
+    num_layers: int = 4,
+    use_ddim: bool = False,
+    chain_costs: Optional[Dict[int, float]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """N-sample 4-layer generation under the mixed-batch plan.
+
+    Runs chain-major (each planned group completes its full layer chain before
+    the next group starts): per-sample conditioning stays within the group, the
+    two jitted programs (B=1, B=8) are each compiled once, and peak memory is
+    one group's chain. Padded lanes in the final group are computed and
+    discarded. Returns {layer_name: (num_samples, H, W, C)}.
+    """
+    import numpy as np
+
+    plan = plan_workload(num_samples, chain_costs)
+    per_layer: Dict[str, list] = {}
+    produced = 0
+    for B in plan:
+        take = min(B, num_samples - produced)
+        if take <= 0:
+            break
+        key, sub = jax.random.split(key)
+        out = generate_all_layers(
+            model, params, diffusion, sub, batch_size=B,
+            image_size=image_size, channels=channels, num_layers=num_layers,
+            use_ddim=use_ddim,
+        )
+        for name, arr in out.items():
+            per_layer.setdefault(name, []).append(np.asarray(arr[:take]))
+        produced += take
+    return {
+        name: jnp.asarray(np.concatenate(parts, axis=0))
+        for name, parts in per_layer.items()
+    }
+
+
 def generate_all_layers(
     model,
     params,
