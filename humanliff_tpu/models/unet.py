@@ -302,6 +302,13 @@ class UNetModel(nn.Module):
         # 3d-aware mode runs on the plane-unrolled (H, 3W) layout; the final fold
         # re-stacks the three width groups into channels (unet.py:613-614), so the
         # conv emits out_channels//3 there to land on out_channels after folding.
+        # CONSTRUCTOR-UNIT NOTE: the reference passes in/out_channels ALREADY
+        # divided by 3 in this mode (its first conv consumes the unrolled
+        # tensor and its fold triples the out conv's channels); we take the
+        # full plane channel count and divide internally. A reference 3d-aware
+        # checkpoint (built with C//3 units) therefore imports onto a model
+        # constructed with C units — shapes verified in
+        # tests/test_3d_aware_parity.py.
         out_feats = (
             self.out_channels // 3 if self.use_3d_aware else self.out_channels
         )
