@@ -137,6 +137,37 @@ def _evaluate(args):
     return step, savedir, results
 
 
+def _train_curve_summary(expdir: str) -> str:
+    """One-line plateau statement from progress.csv (VERDICT r3 item 2): the
+    mean train PSNR over the final ~5k steps vs the 5k window 10k earlier.
+    Column layout is recon_train's progress.csv (step, ..., psnr, time_per_iter)."""
+    path = os.path.join(expdir, "progress.csv")
+    if not os.path.exists(path):
+        return ""
+    try:
+        rows = np.genfromtxt(path, delimiter=",", names=True)
+        steps, psnr = rows["step"], rows["psnr"]
+    except Exception:
+        return ""
+    if steps.size < 4:
+        return ""
+    end = steps[-1]
+    recent = psnr[steps > end - 5000]
+    earlier = psnr[(steps > end - 15000) & (steps <= end - 10000)]
+    if recent.size == 0 or earlier.size == 0:
+        return ""
+    d = float(recent.mean() - earlier.mean())
+    verdict = (
+        "plateaued" if abs(d) < 0.25
+        else ("still improving" if d > 0 else "regressing")
+    )
+    return (
+        f"Training-curve status at step {int(end)}: train PSNR "
+        f"{float(recent.mean()):.2f} dB over the last 5k steps, "
+        f"{d:+.2f} dB vs 10k steps earlier — {verdict}."
+    )
+
+
 def _report(args, step, savedir, results):
     layers = sorted({int(k.split("_layer")[1].split("_")[0]) for k in results})
     lines = [
@@ -177,6 +208,9 @@ def _report(args, step, savedir, results):
         "",
         f"Per-(subject, layer) metrics: `{savedir}/metrics.json` (+ .npy, pred/gt PNGs).",
     ]
+    plateau = _train_curve_summary(os.path.join(args.out_dir, "train"))
+    if plateau:
+        lines += ["", plateau]
     if args.fast_eval:
         lines += ["", "Fast-tier (density-grid coarse pass) comparison:", ""]
         lines += ["| layer | PSNR fast | SSIM fast |", "|---|---|---|"]
