@@ -168,6 +168,17 @@ def _train_curve_summary(expdir: str) -> str:
     )
 
 
+def _load_history(out_dir: str) -> dict:
+    path = os.path.join(out_dir, "quality_metrics.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f).get("history", {})
+        except Exception:
+            pass
+    return {}
+
+
 def _report(args, step, savedir, results):
     layers = sorted({int(k.split("_layer")[1].split("_")[0]) for k in results})
     lines = [
@@ -211,6 +222,51 @@ def _report(args, step, savedir, results):
     plateau = _train_curve_summary(os.path.join(args.out_dir, "train"))
     if plateau:
         lines += ["", plateau]
+
+    # Eval history across checkpoints (kept in quality_metrics.json so
+    # re-runs at later steps show the trajectory — the 18k->60k campaign
+    # showed hardest-layer HELD-OUT PSNR can regress while train PSNR climbs).
+    history = _load_history(args.out_dir)
+    history[str(step)] = {
+        str(layer): float(np.mean([
+            results[k]["psnr"] for k in results if f"_layer{layer}_exact" in k
+        ]))
+        for layer in layers
+    }
+    if len(history) > 1:
+        hsteps = sorted(history, key=int)
+        lines += ["", "Held-out PSNR by checkpoint (dB):", "",
+                  "| step | " + " | ".join(f"layer {l}" for l in layers) + " |",
+                  "|---|" + "---|" * len(layers)]
+        for s in hsteps:
+            row = history[s]
+            lines.append(
+                f"| {s} | " + " | ".join(
+                    f"{row.get(str(l), float('nan')):.2f}" for l in layers
+                ) + " |"
+            )
+        regressed = []
+        for layer in layers:
+            vals = {s: history[s].get(str(layer)) for s in hsteps
+                    if history[s].get(str(layer)) is not None}
+            if not vals:
+                continue
+            best_s = max(vals, key=vals.get)
+            if vals[best_s] - vals[hsteps[-1]] > 1.0:
+                regressed.append((layer, best_s, vals[best_s]))
+        if regressed:
+            worst = ", ".join(
+                f"layer {l} peaked at step {s} ({v:.2f} dB)"
+                for l, s, v in regressed
+            )
+            lines += [
+                "",
+                f"NOTE: held-out PSNR regressed while train PSNR kept "
+                f"climbing — {worst}. Longer training overfits the training "
+                f"views on the hardest layers; the per-checkpoint saves "
+                f"(every i_weights steps) keep the peak checkpoints "
+                f"available for `--skip_train` re-evaluation.",
+            ]
     if args.fast_eval:
         lines += ["", "Fast-tier (density-grid coarse pass) comparison:", ""]
         lines += ["| layer | PSNR fast | SSIM fast |", "|---|---|---|"]
@@ -226,7 +282,8 @@ def _report(args, step, savedir, results):
     with open(path, "w") as f:
         f.write(md)
     with open(os.path.join(args.out_dir, "quality_metrics.json"), "w") as f:
-        json.dump({"step": step, "results": results}, f, indent=2)
+        json.dump({"step": step, "results": results, "history": history}, f,
+                  indent=2)
     print(f"[quality] wrote {path}")
     print(md)
 
