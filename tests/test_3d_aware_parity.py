@@ -100,7 +100,11 @@ def _synthetic_3d_aware_state_dict(ch=16, in_ch_ref=2, out_ch_ref=2):
     )
     rng = np.random.default_rng(7)
     for k in list(sd):
-        if k.endswith("out_layers.3.weight"):
+        # The ControlNet cond encoder's ResBlocks are built WITHOUT
+        # use_3d_aware in the reference (unet.py:492-501) — only the main
+        # path's out convs see the 3x mean-exchange channels.
+        if k.endswith("out_layers.3.weight") and not k.startswith(
+                "input_blocks_cond"):
             o, i, kh, kw = sd[k].shape
             sd[k] = rng.normal(scale=0.02, size=(o, 3 * i, kh, kw)).astype(
                 np.float32
