@@ -207,6 +207,12 @@ def main(argv=None):
             "--num_channels", str(args.num_channels),
             "--num_res_blocks", str(args.num_res_blocks),
             "--attention_resolutions", args.attention_resolutions,
+            # Remat is REQUIRED for the flagship at batch 2 on one v5e:
+            # without it the fwd+bwd activations push the 497M-param
+            # params+Adam+EMA footprint past HBM (RESOURCE_EXHAUSTED at the
+            # first step readback). The round-3 444 ms/step measurement was
+            # bf16 + remat + donation (CLAUDE.md).
+            "--use_checkpoint", "true",
             "--seed", str(args.seed),
         ])
 
