@@ -103,7 +103,7 @@ def _export_campaign_planes(args, planes_dir: str):
         for i in range(args.num_instance)
     ] if latest is not None else []
     if paths and paths == want:
-        return paths
+        return paths, False
     for stale in paths:
         if stale not in want:
             print(f"[stage2] removing stale export {os.path.basename(stale)} "
@@ -124,7 +124,7 @@ def _export_campaign_planes(args, planes_dir: str):
         path = os.path.join(planes_dir, f"campaign{i:04d}_{step:06d}.npz")
         ckpt.save_subject_planes(path, planes[i], step)
         paths.append(path)
-    return paths
+    return paths, True
 
 
 def main(argv=None):
@@ -137,7 +137,7 @@ def main(argv=None):
     os.makedirs(planes_dir, exist_ok=True)
 
     # ---- 1. Export the campaign subjects --------------------------------
-    campaign_paths = _export_campaign_planes(args, planes_dir)
+    campaign_paths, exports_changed = _export_campaign_planes(args, planes_dir)
 
     # ---- 2. Fine-tune extra subjects against the frozen decoder ---------
     ft_paths = sorted(
@@ -181,6 +181,14 @@ def main(argv=None):
 
     packed_train = os.path.join(work, "planes_train.npy")
     packed_held = os.path.join(work, "planes_heldout.npy")
+    if exports_changed:
+        # Fresh exports must flow into the training data — a stale pack would
+        # silently train on the previous checkpoint's planes.
+        for p in (packed_train, packed_held):
+            if os.path.exists(p):
+                print(f"[stage2] repacking {os.path.basename(p)} "
+                      "(campaign exports were regenerated)")
+                os.remove(p)
     if not os.path.exists(packed_train):
         pack_subject_planes(train_paths, packed_train)
     if not os.path.exists(packed_held):
@@ -191,6 +199,10 @@ def main(argv=None):
     from humanliff_tpu.train import checkpoint as ckpt
 
     have_step = ckpt.latest_step(diff_dir) or 0
+    if exports_changed and have_step > 0:
+        print(f"[stage2] WARNING: the diffusion checkpoint (step {have_step}) "
+              f"was trained on OLDER stage-1 exports; delete {diff_dir} to "
+              "retrain against the regenerated planes")
     if have_step < args.diff_steps:
         diff_train.main([
             "--data_dir", packed_train,

@@ -128,3 +128,36 @@ def test_quality_stage2_campaign(tmp_path):
     assert os.path.exists(os.path.join(work, "STAGE2.md"))
     with open(os.path.join(work, "stage2_metrics.json")) as f:
         assert len(json.load(f)["plane_fidelity"]) == 3
+    # Provenance sidecar from the sampling leg (ADVICE r3): samples trace to
+    # the diffusion checkpoint that produced them.
+    with open(os.path.join(work, "samples", "samples_meta.json")) as f:
+        assert json.load(f)["diff_step"] == 4
+
+    # ---- Staleness: raising --diff_steps must retrain AND resample -------
+    args8 = [
+        "--out_dir", out, "--num_instance", "2",
+        "--image_size", str(IMG), "--triplane_dim", str(D),
+        "--triplane_ch", str(CH), "--n_samples", "8", "--n_importance", "8",
+        "--ft_subjects", "1", "--ft_steps", "4", "--ft_n_rand", "64",
+        "--num_channels", "16", "--num_res_blocks", "1",
+        "--attention_resolutions", "8", "--diff_steps", "8",
+        "--diff_batch_size", "8", "--save_interval", "4",
+        "--num_samples", "2", "--sample_batch", "2", "--respacing", "4",
+        "--decode_size", "24", "--n_eval_timesteps", "2", "--seed", "0",
+    ]
+    from humanliff_tpu.cli import quality_stage2 as qs2
+
+    qs2.main(args8)
+    with open(os.path.join(work, "samples", "samples_meta.json")) as f:
+        assert json.load(f)["diff_step"] == 8
+    with open(os.path.join(work, "stage2_metrics.json")) as f:
+        assert json.load(f)["diff_step"] == 8
+
+    # ---- Staleness: an advanced stage-1 checkpoint re-exports + repacks --
+    ckpt.save_state(expdir, 12, state)
+    mtime_before = os.path.getmtime(os.path.join(work, "planes_train.npy"))
+    qs2.main(args8)
+    planes = sorted(os.listdir(os.path.join(work, "planes")))
+    assert sum(p.startswith("campaign") and "_000012" in p for p in planes) == 2
+    assert not any("_000010" in p for p in planes)
+    assert os.path.getmtime(os.path.join(work, "planes_train.npy")) > mtime_before
