@@ -89,26 +89,38 @@ def build_parser():
 def _export_campaign_planes(args, planes_dir: str):
     """Stage-1 checkpoint -> per-subject plane npz.
 
-    Skips only when the existing exports were produced by the CURRENT latest
-    stage-1 checkpoint (the producing step is embedded in the filename); if the
-    stage-1 campaign advanced since, the stale exports are removed and
+    Skips when the existing exports were produced by the CURRENT latest
+    stage-1 checkpoint (the producing step is embedded in the filename).
+    Exports from an OLDER checkpoint than the latest are stale: removed and
     re-exported so every downstream artifact traces to one checkpoint step.
+    Exports NEWER than the latest checkpoint mean the producing checkpoint was
+    pruned (only older saves survive) — they are the best surviving artifact
+    and are KEPT; cli/recon_refit can rebuild a consistent full checkpoint
+    from them.
     """
+    import re as _re
+
     from humanliff_tpu.train import checkpoint as ckpt
 
     paths = sorted(glob.glob(os.path.join(planes_dir, "campaign*.npz")))
     latest = ckpt.latest_step(os.path.join(args.out_dir, "train"))
-    want = [
-        os.path.join(planes_dir, f"campaign{i:04d}_{latest:06d}.npz")
-        for i in range(args.num_instance)
-    ] if latest is not None else []
-    if paths and paths == want:
-        return paths, False
+    export_steps = sorted({
+        int(m.group(1)) for p in paths
+        if (m := _re.search(r"_(\d{6})\.npz$", os.path.basename(p)))
+    })
+    if paths and len(export_steps) == 1 and len(paths) == args.num_instance:
+        step = export_steps[0]
+        if latest is None or step >= latest:
+            if latest is None or step > latest:
+                print(f"[stage2] WARNING: exports at step {step} outlive the "
+                      f"latest stage-1 checkpoint ({latest}) — keeping them "
+                      "(the producing checkpoint was pruned; recover a "
+                      "consistent decoder with cli/recon_refit)")
+            return paths, False
     for stale in paths:
-        if stale not in want:
-            print(f"[stage2] removing stale export {os.path.basename(stale)} "
-                  f"(stage-1 checkpoint is now {latest})")
-            os.remove(stale)
+        print(f"[stage2] removing stale export {os.path.basename(stale)} "
+              f"(stage-1 checkpoint is now {latest})")
+        os.remove(stale)
     restored, step = ckpt.restore_state(os.path.join(args.out_dir, "train"))
     if restored is None:
         raise FileNotFoundError(

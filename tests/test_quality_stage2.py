@@ -161,3 +161,79 @@ def test_quality_stage2_campaign(tmp_path):
     assert sum(p.startswith("campaign") and "_000012" in p for p in planes) == 2
     assert not any("_000010" in p for p in planes)
     assert os.path.getmtime(os.path.join(work, "planes_train.npy")) > mtime_before
+
+    # ---- Pruned checkpoint: exports NEWER than the latest surviving
+    # checkpoint are the best remaining artifact — kept, never deleted
+    # (the round-4 recovery scenario: only early checkpoints survive while
+    # the exports trace to the pruned final step).
+    import shutil
+
+    shutil.rmtree(os.path.join(expdir, "000012"))
+    assert ckpt.latest_step(expdir) == 10
+    import argparse
+
+    ns = argparse.Namespace(out_dir=out, num_instance=2)
+    paths, changed = qs2._export_campaign_planes(
+        ns, os.path.join(work, "planes"))
+    assert not changed
+    assert len(paths) == 2 and all("_000012" in p for p in paths)
+
+
+def test_recon_refit_recovery(tmp_path):
+    """cli/recon_refit rebuilds a full checkpoint from plane-only exports:
+    planes stay bit-identical (frozen via 0 plane lr), the decoder trains,
+    and the result is stamped with the exports' provenance step."""
+    D, CH, IMG = 16, 9, 24
+    cfg = Stage1Config(
+        num_instances=2, num_layers=4, triplane_dim=D, triplane_ch=CH,
+        render=RenderConfig(n_samples=8, n_importance=8),
+    )
+    decoder = NeRFDecoder(d_in=CH)
+    params = init_params(jax.random.key(0), cfg, decoder)
+    planes_dir = tmp_path / "planes"
+    planes_dir.mkdir()
+    exports = []
+    for i in range(2):
+        path = str(planes_dir / f"campaign{i:04d}_000042.npz")
+        ckpt.save_subject_planes(path, np.asarray(params["planes"][i]), 42)
+        exports.append(path)
+
+    # A surviving EARLIER checkpoint provides the decoder warm start.
+    tx = make_stage1_optimizer()
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), tx=tx)
+    warm_dir = str(tmp_path / "warm")
+    ckpt.save_state(warm_dir, 5, state)
+
+    from humanliff_tpu.cli import recon_refit
+
+    out = str(tmp_path / "refit")
+    recon_refit.main([
+        "--plane_files", str(planes_dir / "campaign*.npz"),
+        "--data_set_type", "synthetic",
+        "--basedir", out, "--expname", "train",
+        "--num_instance", "2",
+        "--synthetic_image_size", str(IMG),
+        "--synthetic_tight_bounds", "true",
+        "--n_rand", "64", "--batch_size", "2",
+        "--n_samples", "8", "--n_importance", "8",
+        "--triplane_dim", str(D), "--triplane_ch", str(CH),
+        "--refit_steps", "3", "--refit_lr", "1e-3",
+        "--decoder_from", warm_dir,
+        "--i_print", "3", "--seed", "0",
+    ])
+
+    expdir = os.path.join(out, "train")
+    assert ckpt.latest_step(expdir) == 42  # provenance step from filenames
+    restored, step = ckpt.restore_state(expdir)
+    rparams = ckpt.get_field(restored, "params")
+    # Planes bit-identical to the exports; decoder moved (it trained).
+    for i, path in enumerate(exports):
+        np.testing.assert_array_equal(
+            np.asarray(rparams["planes"][i]), ckpt.load_subject_planes(path))
+    warm_leaves = jax.tree.leaves(params["decoder"])
+    new_leaves = jax.tree.leaves(rparams["decoder"])
+    assert any(
+        not np.allclose(a, np.asarray(b)) for a, b in zip(warm_leaves, new_leaves)
+    )
+    assert os.path.exists(os.path.join(expdir, "000042_REFIT.txt"))
