@@ -77,8 +77,12 @@ def main(argv=None):
                              "(default: the exports' embedded step — plane "
                              "provenance)")
     parser.add_argument("--decoder_from", type=str, default=None,
-                        help="checkpoint dir to warm-start the decoder from "
-                             "(default: the target dir's latest checkpoint)")
+                        help="checkpoint dir OR decoder_*.npz sidecar to "
+                             "warm-start the decoder from (default: the "
+                             "target dir's latest checkpoint); with "
+                             "--refit_steps 0 this is pure reassembly — no "
+                             "training, the pair (plane exports, decoder "
+                             "npz) becomes a full checkpoint")
     args = cfglib.parse_with_config(parser, argv)
 
     plane_files = _expand_plane_files(args.plane_files)
@@ -141,13 +145,24 @@ def main(argv=None):
     params["planes"] = planes.astype(np.float32)
 
     warm_dir = args.decoder_from or expdir
-    warm, warm_step = ckpt.restore_state(warm_dir)
-    if warm is not None:
-        params["decoder"] = jax.tree.map(
-            np.asarray, ckpt.get_field(warm, "params")["decoder"])
-        print(f"[refit] decoder warm-started from {warm_dir} step {warm_step}")
+    if warm_dir.endswith(".npz"):
+        params["decoder"] = ckpt.load_decoder_npz(warm_dir)
+        warm_step = "sidecar"
+        print(f"[refit] decoder loaded from sidecar {warm_dir}")
     else:
-        print("[refit] no checkpoint to warm-start from — random decoder init")
+        warm, warm_step = ckpt.restore_state(warm_dir)
+        if warm is not None:
+            params["decoder"] = jax.tree.map(
+                np.asarray, ckpt.get_field(warm, "params")["decoder"])
+            print(f"[refit] decoder warm-started from {warm_dir} "
+                  f"step {warm_step}")
+        elif args.refit_steps <= 0:
+            raise FileNotFoundError(
+                f"--refit_steps 0 is pure reassembly but {warm_dir} has no "
+                "checkpoint/sidecar to take the decoder from")
+        else:
+            print("[refit] no checkpoint to warm-start from — random "
+                  "decoder init")
 
     # Mesh sized so the instance-sharded plane table (and the batch) divide
     # evenly — a refit's instance count is small and arbitrary.
@@ -200,6 +215,9 @@ def main(argv=None):
 
     state = state.replace(step=np.int32(save_step))
     path = ckpt.save_state(expdir, save_step, state)
+    ckpt.save_decoder_npz(
+        os.path.join(expdir, f"decoder_{save_step:06d}.npz"),
+        jax.device_get(state.params["decoder"]), save_step)
     with open(os.path.join(expdir, f"{save_step:06d}_REFIT.txt"), "w") as f:
         f.write(
             "Recovered checkpoint: planes are the UNMODIFIED exports below "

@@ -185,9 +185,18 @@ def main(argv=None):
             log.dumpkvs(step)
         if step % args.i_weights == 0 or step == 5000:
             path = ckpt.save_state(expdir, step, state)
+            # Compact decoder sidecar: with the per-subject plane exports it
+            # reassembles a full checkpoint (recon_refit --refit_steps 0) if
+            # the ~200 MB orbax dirs are ever pruned.
+            ckpt.save_decoder_npz(
+                os.path.join(expdir, f"decoder_{step:06d}.npz"),
+                jax.device_get(state.params["decoder"]), step)
             print(f"saved checkpoint {path}")
     loader.close()
     ckpt.save_state(expdir, step, state)
+    ckpt.save_decoder_npz(
+        os.path.join(expdir, f"decoder_{step:06d}.npz"),
+        jax.device_get(state.params["decoder"]), step)
 
 
 if __name__ == "__main__":

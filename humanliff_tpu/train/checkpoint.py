@@ -95,6 +95,41 @@ def _strip_static(state: Any) -> Any:
 # ---------------- stage-1 <-> stage-2 file contract ----------------
 
 
+def save_decoder_npz(path: str, decoder_params: Any, step: int = 0) -> None:
+    """Compact decoder-only sidecar (~100 KB vs the ~200 MB full state).
+
+    Orbax train states carry the Adam moments for the full plane table and are
+    routinely pruned/lost; the per-subject plane exports carry no decoder
+    (run_nerf_batch_ft.py:323-333). This sidecar makes the (plane exports,
+    decoder npz) pair self-sufficient: cli/recon_refit --refit_steps 0
+    reassembles a working checkpoint from them with no retraining."""
+    def _kp_str(k):
+        # DictKey has .key, SequenceKey has .idx; dict-only trees round-trip
+        # (flax param dicts are), sequence nodes reload as dicts of indices.
+        return str(getattr(k, "key", getattr(k, "idx", k)))
+
+    flat = {
+        "/".join(_kp_str(k) for k in kp): np.asarray(v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(decoder_params)[0]
+    }
+    np.savez_compressed(path, __global_step__=step, **flat)
+
+
+def load_decoder_npz(path: str) -> Any:
+    """Rebuild the nested decoder param dict saved by save_decoder_npz."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            if key == "__global_step__":
+                continue
+            node = out
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = z[key]
+    return out
+
+
 def save_subject_planes(path: str, planes: np.ndarray, step: int) -> None:
     """Per-subject tri-plane artifact: (4, 3, C3, D, D) -> {human}_{step:06d}.npz."""
     np.savez_compressed(path, tri_planes=np.asarray(planes), global_step=step)

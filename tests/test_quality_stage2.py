@@ -237,3 +237,31 @@ def test_recon_refit_recovery(tmp_path):
         not np.allclose(a, np.asarray(b)) for a, b in zip(warm_leaves, new_leaves)
     )
     assert os.path.exists(os.path.join(expdir, "000042_REFIT.txt"))
+
+    # Zero-step REASSEMBLY: the (plane exports, decoder sidecar) pair — both
+    # small enough to commit — reconstructs a full checkpoint with no
+    # training at all.
+    sidecar = os.path.join(expdir, "decoder_000042.npz")
+    assert os.path.exists(sidecar)
+    out2 = str(tmp_path / "reassembled")
+    recon_refit.main([
+        "--plane_files", str(planes_dir / "campaign*.npz"),
+        "--data_set_type", "synthetic",
+        "--basedir", out2, "--expname", "train",
+        "--num_instance", "2",
+        "--synthetic_image_size", str(IMG),
+        "--synthetic_tight_bounds", "true",
+        "--n_rand", "64", "--batch_size", "2",
+        "--n_samples", "8", "--n_importance", "8",
+        "--triplane_dim", str(D), "--triplane_ch", str(CH),
+        "--refit_steps", "0",
+        "--decoder_from", sidecar,
+        "--seed", "0",
+    ])
+    re_restored, _ = ckpt.restore_state(os.path.join(out2, "train"))
+    re_params = ckpt.get_field(re_restored, "params")
+    for a, b in zip(jax.tree.leaves(rparams["decoder"]),
+                    jax.tree.leaves(re_params["decoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(re_params["planes"]), np.asarray(rparams["planes"]))
