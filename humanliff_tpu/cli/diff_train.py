@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zero_shard", type=lambda s: s.lower() == "true", default=True,
                    help="ZeRO-1: partition Adam moments + EMA across the data "
                         "mesh (no-op on one device); see parallel/mesh.py")
+    p.add_argument("--device_data", type=str, default="auto",
+                   choices=("auto", "true", "false"),
+                   help="keep the packed tri-plane dataset resident on device "
+                        "and gather batches by index inside the jitted step "
+                        "(auto: single device and dataset <= 1 GB). On the "
+                        "tunneled chip the per-step batch upload otherwise "
+                        "dominates the step time.")
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--save_interval", type=int, default=50000)
     p.add_argument("--total_steps", type=int, default=300000)
@@ -121,6 +128,7 @@ def main(argv=None):
         state = replicate(state, mesh)
         step_fn = lambda s, b, k: train_step(s, b, k, model, diffusion, cfg)
 
+    planes_dev = None
     if args.data_name == "imagenet":
         if not os.path.isdir(args.data_dir):
             raise ValueError(
@@ -156,7 +164,33 @@ def main(argv=None):
         from humanliff_tpu.data.triplane_data import TriplaneDataset
 
         ds = TriplaneDataset(args.data_dir)
-        loader = BatchLoader(len(ds), ds.item, args.batch_size, seed=args.seed)
+        # Single-device only: the multi-device ZeRO step shards the batch
+        # by example and has no sharding rule for a replicated plane table
+        # (real pods stream from per-host loaders anyway).
+        use_device_data = mesh.devices.size == 1 and (
+            args.device_data == "true"
+            or (args.device_data == "auto" and ds.planes.nbytes <= 1 << 30)
+        )
+        if use_device_data:
+            # Upload the whole packed dataset ONCE; per step only (idx, y)
+            # cross the host<->device link and train_step gathers
+            # (x, x_cond) on device (see train/stage2.py). NCHW storage ->
+            # NHWC flat (N*L, D, D, C) to match the UNet layout.
+            L = ds.num_layers
+            flat = np.asarray(ds.planes, np.float32)
+            flat = flat.reshape(-1, *flat.shape[2:]).transpose(0, 2, 3, 1)
+            planes_dev = jax.device_put(np.ascontiguousarray(flat))
+            print(f"device-resident dataset: {flat.nbytes / 1e6:.0f} MB, "
+                  f"{flat.shape[0]} items")
+
+            def item_idx(index, rng=None):
+                return {"idx": np.int32(index), "y": np.int32(index % L)}
+
+            loader = BatchLoader(
+                len(ds), item_idx, args.batch_size, seed=args.seed)
+        else:
+            loader = BatchLoader(
+                len(ds), ds.item, args.batch_size, seed=args.seed)
         batches = iter(loader)
 
     key = jax.random.key(args.seed + 1)
@@ -168,6 +202,10 @@ def main(argv=None):
     m_buf = []
     while step < args.total_steps:
         batch = shard_batch(next(batches), mesh)
+        if planes_dev is not None:
+            # Already on device — attach after shard_batch so it is never
+            # re-uploaded or batch-sharded.
+            batch["planes"] = planes_dev
         key, sub = jax.random.split(key)
         state, m = step_fn(state, batch, sub)
         step += 1

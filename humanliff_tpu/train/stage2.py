@@ -88,7 +88,24 @@ def train_step(
     diffusion: GaussianDiffusion,
     cfg: Stage2Config,
 ) -> Tuple[Stage2State, Dict[str, jnp.ndarray]]:
-    """One optimization step. batch: x (B,H,W,C), x_cond (B,H,W,C), y (B,)."""
+    """One optimization step.
+
+    batch is either materialized — x (B,H,W,C), x_cond (B,H,W,C), y (B,) —
+    or DEVICE-RESIDENT indexed: planes (N*L,H,W,C) living on device across
+    steps, idx (B,) flat (subject, layer) indices, y (B,) = idx % L. The
+    indexed form gathers (x, x_cond) inside this jit, so the host uploads
+     16 bytes/step instead of 2 full plane images/item — on the tunneled
+    single-chip setup the 28 MB/step batch upload dominated the 0.45 s
+    compute (measured 2.2 s/step vs 0.5 s device-resident). x_cond is the
+    previous layer (idx - 1 within the same subject), zero-masked at layer 0
+    (triplane_datasets.py's cond convention).
+    """
+    if "planes" in batch:
+        planes, idx, y = batch["planes"], batch["idx"], batch["y"]
+        x = jnp.take(planes, idx, axis=0)
+        prev = jnp.take(planes, idx - (y > 0).astype(idx.dtype), axis=0)
+        x_cond = prev * (y > 0).astype(prev.dtype)[:, None, None, None]
+        batch = {"x": x, "x_cond": x_cond, "y": y}
     B = batch["x"].shape[0]
     k_t, k_noise = jax.random.split(key)
 

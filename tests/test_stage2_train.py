@@ -127,3 +127,34 @@ def test_data_parallel_step_on_mesh():
     # Param update is identical across devices (replicated sharding preserved).
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_device_resident_indexed_batch_matches_materialized():
+    """The indexed batch form (planes + idx gathered inside the jit; see
+    cli/diff_train.py --device_data) must be step-for-step identical to the
+    materialized (x, x_cond, y) form, including the layer-0 zero-cond mask."""
+    model, diffusion, params = _tiny()
+    cfg = Stage2Config(lr=1e-3)
+    rng = np.random.default_rng(7)
+    N, L = 2, 4
+    planes = jnp.asarray(rng.normal(size=(N * L, 8, 8, 6)).astype(np.float32) * 0.3)
+    idx = jnp.asarray([0, 3, 4, 5], jnp.int32)  # incl. layer 0 of both subjects
+    y = idx % L
+    mat = {
+        "x": planes[idx],
+        "x_cond": jnp.where((y > 0)[:, None, None, None],
+                            planes[jnp.maximum(idx - 1, 0)], 0.0),
+        "y": y,
+    }
+    s_a = create_stage2_state(params, cfg, diffusion.num_timesteps)
+    s_b = create_stage2_state(params, cfg, diffusion.num_timesteps)
+    key = jax.random.key(3)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        s_a, m_a = train_step(s_a, dict(mat), sub, model, diffusion, cfg)
+        s_b, m_b = train_step(
+            s_b, {"planes": planes, "idx": idx, "y": y}, sub, model, diffusion, cfg
+        )
+        assert np.allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
