@@ -392,6 +392,20 @@ def main(argv=None):
 
     decoded = {}
     rend = {name: render_layer(samples[name][0]) for name in LAYER_NAMES}
+    # Visual evidence: one decoded render per GENERATED layer (the analog of
+    # triplane_sample_layered.py:152-179's saved decode images).
+    import imageio.v2 as imageio
+
+    def _to_u8(a):
+        return (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+
+    for li, name in enumerate(LAYER_NAMES):
+        rgb, acc = rend[name]
+        imageio.imwrite(
+            os.path.join(samples_dir, f"decoded_l{li}_{name}.png"), _to_u8(rgb))
+        imageio.imwrite(
+            os.path.join(samples_dir, f"decoded_l{li}_{name}_acc.png"),
+            _to_u8(acc if acc.ndim == 2 else acc[..., 0]))
     for prev, cur in zip(LAYER_NAMES[:-1], LAYER_NAMES[1:]):
         rgb0, acc0 = rend[prev]
         rgb1, acc1 = rend[cur]
