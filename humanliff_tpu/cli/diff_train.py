@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "dominates the step time.")
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--save_interval", type=int, default=50000)
+    p.add_argument("--light_final_save", type=lambda s: s.lower() == "true",
+                   default=False,
+                   help="final checkpoint holds only {step, params, "
+                        "ema_params} (no Adam moments) — halves the "
+                        "device->host readback on the tunneled chip (~8 GB "
+                        "-> ~4 GB for the flagship). Sampling/scoring only "
+                        "need EMA; resuming from a light save restarts the "
+                        "optimizer state fresh (warned at resume)")
     p.add_argument("--total_steps", type=int, default=300000)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -101,7 +109,21 @@ def main(argv=None):
     )
     state = create_stage2_state(params, cfg, diffusion.num_timesteps)
 
-    restored, start = ckpt.restore_state(args.logdir, target=state)
+    try:
+        restored, start = ckpt.restore_state(args.logdir, target=state)
+    except Exception:
+        # A --light_final_save checkpoint (params+EMA only) does not match
+        # the full-state target; resume what it has with a fresh optimizer.
+        restored, start = ckpt.restore_state(args.logdir)
+        if restored is not None:
+            state = state.replace(
+                step=jnp.asarray(restored["step"], jnp.int32),
+                params=restored["params"],
+                ema_params=restored["ema_params"],
+            )
+            print(f"resumed from LIGHT checkpoint at step {start} "
+                  "(optimizer state restarted fresh)")
+            restored = None
     if restored is not None:
         state = state.replace(
             step=restored.step, params=restored.params,
@@ -230,7 +252,13 @@ def main(argv=None):
             if os.environ.get("DIFFUSION_TRAINING_TEST"):
                 print("DIFFUSION_TRAINING_TEST set: early exit after first save")
                 return
-    ckpt.save_state(args.logdir, step, state)
+    if args.light_final_save:
+        light = {"step": np.asarray(step, np.int32), "params": state.params,
+                 "ema_params": state.ema_params}
+        print("saved (light: params+EMA only)",
+              ckpt.save_state(args.logdir, step, light))
+    else:
+        ckpt.save_state(args.logdir, step, state)
 
 
 if __name__ == "__main__":

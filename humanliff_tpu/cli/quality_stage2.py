@@ -72,6 +72,12 @@ def build_parser():
     p.add_argument("--diff_batch_size", type=int, default=2)
     p.add_argument("--diff_lr", type=float, default=1e-4)
     p.add_argument("--save_interval", type=int, default=2000)
+    p.add_argument("--light_final_save", type=str, default="false",
+                   choices=("true", "false"),
+                   help="forwarders to diff_train: the final diffusion "
+                        "checkpoint keeps only params+EMA (halves the ~22 min "
+                        "flagship save readback on the tunnel; sampling and "
+                        "scoring only need EMA)")
     p.add_argument("--ema_rate", type=str, default="0.9999")
     # Sampling / scoring leg.
     p.add_argument("--num_samples", type=int, default=8)
@@ -237,6 +243,7 @@ def main(argv=None):
             # first step readback). The round-3 444 ms/step measurement was
             # bf16 + remat + donation (CLAUDE.md).
             "--use_checkpoint", "true",
+            "--light_final_save", args.light_final_save,
             "--seed", str(args.seed),
         ])
 
@@ -356,8 +363,23 @@ def main(argv=None):
     from humanliff_tpu.sampling.layered import planes_image_to_triplane
     from humanliff_tpu.train.checkpoint import restore_state as _rs
 
-    s1, _ = _rs(os.path.join(args.out_dir, "train"))
-    dec_params = ckpt.get_field(s1, "params")["decoder"]
+    # The decoder must match the checkpoint that PRODUCED the plane exports.
+    # When that checkpoint was pruned (only older full saves survive), the
+    # compact decoder_{step}.npz sidecar that rides every stage-1 save is the
+    # consistent artifact — prefer it over the latest surviving full state.
+    import re as _re3
+
+    _m = _re3.search(r"_(\d{6})\.npz$", os.path.basename(campaign_paths[0]))
+    dec_params = None
+    if _m:
+        side = os.path.join(
+            args.out_dir, "train", f"decoder_{int(_m.group(1)):06d}.npz")
+        if os.path.exists(side):
+            dec_params = ckpt.load_decoder_npz(side)
+            print(f"[stage2] decoder from sidecar {side}")
+    if dec_params is None:
+        s1, _ = _rs(os.path.join(args.out_dir, "train"))
+        dec_params = ckpt.get_field(s1, "params")["decoder"]
     decoder = NeRFDecoder(d_in=args.triplane_ch)
 
     # One shared box: union of the campaign/ft subjects' tight AABBs (the
