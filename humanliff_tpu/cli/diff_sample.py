@@ -106,6 +106,15 @@ def _load_ema_params(args):
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {args.model_dir}")
     ema = ckpt.get_field(restored, "ema_params")[args.ema_rate]
+    # EMA burn-in guard: the EMA initializes AT the random init, so rate^step
+    # of it is still that init — at 0.9999 and 6k steps that is 55%, and
+    # sampling it produces saturated noise (round-4 campaign post-mortem).
+    init_w = float(args.ema_rate) ** max(int(step or 0), 0)
+    if init_w > 0.1:
+        print(f"WARNING: EMA({args.ema_rate}) at step {step} still carries "
+              f"{init_w:.1%} of the random init — sampling RAW params instead "
+              "(use a faster --ema_rate for short trainings)")
+        return ckpt.get_field(restored, "params")
     print(f"loaded EMA({args.ema_rate}) weights from step {step}")
     return ema
 

@@ -70,6 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "-> ~4 GB for the flagship). Sampling/scoring only "
                         "need EMA; resuming from a light save restarts the "
                         "optimizer state fresh (warned at resume)")
+    p.add_argument("--skip_final_save", type=lambda s: s.lower() == "true",
+                   default=False,
+                   help="write NO final checkpoint; main() returns the final "
+                        "TrainState so an in-process caller (e.g. "
+                        "cli/quality_stage2 --final_save none) can sample and "
+                        "score the in-memory weights directly — the flagship "
+                        "state otherwise costs ~11-22 min of device->host "
+                        "readback on the tunneled chip")
     p.add_argument("--total_steps", type=int, default=300000)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -251,14 +259,18 @@ def main(argv=None):
             print("saved", ckpt.save_state(args.logdir, step, state))
             if os.environ.get("DIFFUSION_TRAINING_TEST"):
                 print("DIFFUSION_TRAINING_TEST set: early exit after first save")
-                return
-    if args.light_final_save:
+                return state
+    if args.skip_final_save:
+        print("skip_final_save: no final checkpoint written "
+              "(final state returned in-memory)")
+    elif args.light_final_save:
         light = {"step": np.asarray(step, np.int32), "params": state.params,
                  "ema_params": state.ema_params}
         print("saved (light: params+EMA only)",
               ckpt.save_state(args.logdir, step, light))
     else:
         ckpt.save_state(args.logdir, step, state)
+    return state
 
 
 if __name__ == "__main__":

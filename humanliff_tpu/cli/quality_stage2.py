@@ -78,7 +78,18 @@ def build_parser():
                         "checkpoint keeps only params+EMA (halves the ~22 min "
                         "flagship save readback on the tunnel; sampling and "
                         "scoring only need EMA)")
-    p.add_argument("--ema_rate", type=str, default="0.9999")
+    p.add_argument("--final_save", type=str, default=None,
+                   choices=("full", "light", "none"),
+                   help="final diffusion checkpoint policy: 'none' skips the "
+                        "save entirely and samples/scores the in-memory final "
+                        "state (the flagship save costs ~11-22 min of tunnel "
+                        "readback; the campaign artifacts are the samples + "
+                        "report). Default derives from --light_final_save.")
+    # 0.999 (half-life ~700 steps), NOT the reference's 0.9999: EMA starts at
+    # the random init, and at the campaign's ~5-6k steps a 0.9999 EMA still
+    # carries 0.9999^6000 ~ 55% of that init — sampling it produces pure noise
+    # (round-4 campaign post-mortem). 0.999 leaves 0.25% init at 6k steps.
+    p.add_argument("--ema_rate", type=str, default="0.999")
     # Sampling / scoring leg.
     p.add_argument("--num_samples", type=int, default=8)
     p.add_argument("--sample_batch", type=int, default=8,
@@ -221,8 +232,11 @@ def main(argv=None):
         print(f"[stage2] WARNING: the diffusion checkpoint (step {have_step}) "
               f"was trained on OLDER stage-1 exports; delete {diff_dir} to "
               "retrain against the regenerated planes")
+    final_save = args.final_save or (
+        "light" if args.light_final_save == "true" else "full")
+    state_mem = None
     if have_step < args.diff_steps:
-        diff_train.main([
+        state_mem = diff_train.main([
             "--data_dir", packed_train,
             "--logdir", diff_dir,
             "--batch_size", str(args.diff_batch_size),
@@ -243,66 +257,17 @@ def main(argv=None):
             # first step readback). The round-3 444 ms/step measurement was
             # bf16 + remat + donation (CLAUDE.md).
             "--use_checkpoint", "true",
-            "--light_final_save", args.light_final_save,
+            "--light_final_save",
+            "true" if final_save == "light" else "false",
+            "--skip_final_save",
+            "true" if final_save == "none" else "false",
             "--seed", str(args.seed),
         ])
 
-    # ---- 4. Sample the layered chain (B=8 sweet spot) -------------------
-    samples_dir = os.path.join(work, "samples")
-    from humanliff_tpu.cli import diff_sample
-    from humanliff_tpu.sampling.layered import LAYER_NAMES
-
-    sample_files = {
-        name: os.path.join(samples_dir, f"samples_{name}.npz")
-        for name in LAYER_NAMES
-    }
-    # Samples are valid only if produced by the CURRENT latest diffusion
-    # checkpoint: a raised --diff_steps (or resumed training) advances the
-    # checkpoint, and scoring new weights against old samples would stamp an
-    # inconsistent report. The producing step rides in a sidecar meta file.
-    meta_path = os.path.join(samples_dir, "samples_meta.json")
-    latest_diff = ckpt.latest_step(diff_dir) or 0
-    produced_by = -1
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            produced_by = json.load(f).get("diff_step", -1)
-    have_all = all(os.path.exists(p) for p in sample_files.values())
-    if have_all and produced_by != latest_diff:
-        print(f"[stage2] resampling: existing samples from diff step "
-              f"{produced_by}, checkpoint is now {latest_diff}")
-        for p in list(sample_files.values()) + [
-                os.path.join(samples_dir, "fidelity.json")]:
-            if os.path.exists(p):
-                os.remove(p)
-        have_all = False
-    if not have_all:
-        diff_sample.main([
-            "--model_dir", diff_dir,
-            "--ema_rate", args.ema_rate.split(",")[0],
-            "--out_dir", samples_dir,
-            "--all_layers",
-            "--num_samples", str(args.num_samples),
-            "--batch_size", str(args.sample_batch),
-            "--timestep_respacing", args.respacing,
-            "--report_fidelity",
-            "--fidelity_threshold", str(args.fidelity_threshold),
-            "--image_size", str(args.triplane_dim),
-            "--in_channels", str(args.triplane_ch),
-            "--out_channels", str(args.triplane_ch),
-            "--num_channels", str(args.num_channels),
-            "--num_res_blocks", str(args.num_res_blocks),
-            "--attention_resolutions", args.attention_resolutions,
-            "--seed", str(args.seed),
-        ])
-        with open(meta_path, "w") as f:
-            json.dump({"diff_step": ckpt.latest_step(diff_dir) or 0}, f)
-
-    samples = {
-        name: ckpt.load_samples_npz(path).astype(np.float32)
-        for name, path in sample_files.items()
-    }
-
-    # ---- 5. Score --------------------------------------------------------
+    # ---- 4. Resolve the scoring/sampling weights ------------------------
+    # In-memory final state when the training leg just ran (no checkpoint
+    # round-trip: the flagship save+reload costs ~11-22 min EACH WAY on the
+    # tunneled chip); checkpoint restore otherwise (resumed invocation).
     import jax
 
     from humanliff_tpu.eval.fidelity import (
@@ -313,6 +278,7 @@ def main(argv=None):
         create_model_and_diffusion,
         model_and_diffusion_defaults,
     )
+    from humanliff_tpu.sampling.layered import LAYER_NAMES, generate_workload
 
     md = model_and_diffusion_defaults()
     md.update(image_size=args.triplane_dim, in_channels=args.triplane_ch,
@@ -321,9 +287,88 @@ def main(argv=None):
               attention_resolutions=args.attention_resolutions)
     model, diffusion = create_model_and_diffusion(**md)
     object.__setattr__(diffusion, "channel_axis", -1)
-    restored, dstep = ckpt.restore_state(diff_dir)
-    ema = ckpt.get_field(restored, "ema_params")[args.ema_rate.split(",")[0]]
-    print(f"[stage2] scoring EMA weights at step {dstep}")
+
+    rate_str = args.ema_rate.split(",")[0]
+    if state_mem is not None:
+        dstep = int(jax.device_get(state_mem.step))
+        raw_params = state_mem.params
+        ema = state_mem.ema_params[rate_str]
+        print(f"[stage2] scoring in-memory weights at step {dstep}")
+    else:
+        restored, dstep = ckpt.restore_state(diff_dir)
+        if restored is None:
+            raise FileNotFoundError(
+                f"no diffusion checkpoint under {diff_dir} and the training "
+                "leg did not run — delete stale samples or lower --diff_steps")
+        raw_params = ckpt.get_field(restored, "params")
+        ema = ckpt.get_field(restored, "ema_params")[rate_str]
+        print(f"[stage2] scoring checkpoint weights at step {dstep}")
+    # EMA burn-in guard: EMA initializes AT the random init, so after few
+    # steps it still mostly IS the random init — rate^step of it. Sampling
+    # such weights produces saturated noise (round-4 campaign post-mortem).
+    init_w = float(rate_str) ** max(int(dstep), 0)
+    if init_w > 0.1:
+        print(f"[stage2] WARNING: EMA({rate_str}) at step {dstep} still "
+              f"carries {init_w:.1%} of the random init — sampling/scoring "
+              "RAW params instead (use a faster --ema_rate for short runs)")
+        score_params, weights_used = raw_params, "raw (EMA burn-in incomplete)"
+    else:
+        score_params, weights_used = ema, f"ema({rate_str})"
+
+    # ---- 4b. Sample the layered chain (mixed-batch plan) ----------------
+    samples_dir = os.path.join(work, "samples")
+    os.makedirs(samples_dir, exist_ok=True)
+    sample_files = {
+        name: os.path.join(samples_dir, f"samples_{name}.npz")
+        for name in LAYER_NAMES
+    }
+    # Samples are valid only if produced by the CURRENT weights' step: a
+    # raised --diff_steps (or resumed training) advances the checkpoint, and
+    # scoring new weights against old samples would stamp an inconsistent
+    # report. The producing step rides in a sidecar meta file.
+    meta_path = os.path.join(samples_dir, "samples_meta.json")
+    produced_by = -1
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            produced_by = json.load(f).get("diff_step", -1)
+    have_all = all(os.path.exists(p) for p in sample_files.values())
+    if have_all and produced_by != dstep:
+        print(f"[stage2] resampling: existing samples from diff step "
+              f"{produced_by}, weights are now at {dstep}")
+        for p in list(sample_files.values()) + [
+                os.path.join(samples_dir, "fidelity.json")]:
+            if os.path.exists(p):
+                os.remove(p)
+        have_all = False
+    if not have_all:
+        from humanliff_tpu.eval.fidelity import chain_fidelity_report
+
+        md_s = dict(md)
+        md_s["timestep_respacing"] = args.respacing
+        _, diffusion_s = create_model_and_diffusion(**md_s)
+        object.__setattr__(diffusion_s, "channel_axis", -1)
+        out = generate_workload(
+            model, score_params, diffusion_s, jax.random.key(args.seed + 3),
+            args.num_samples, image_size=args.triplane_dim,
+            channels=args.triplane_ch,
+        )
+        samples = {n: np.asarray(a, np.float32) for n, a in out.items()}
+        for name, arr in samples.items():
+            ckpt.save_samples_npz(sample_files[name], arr)
+            print("[stage2] wrote", sample_files[name])
+        with open(os.path.join(samples_dir, "fidelity.json"), "w") as f:
+            json.dump(
+                chain_fidelity_report(samples, args.fidelity_threshold), f,
+                indent=2)
+        with open(meta_path, "w") as f:
+            json.dump({"diff_step": int(dstep)}, f)
+    else:
+        samples = {
+            name: ckpt.load_samples_npz(path).astype(np.float32)
+            for name, path in sample_files.items()
+        }
+
+    # ---- 5. Score --------------------------------------------------------
 
     key = jax.random.key(args.seed + 7)
 
@@ -334,9 +379,9 @@ def main(argv=None):
     held_items = plane_items(packed_held)
     train_items = plane_items(packed_train)[: 4]  # first train subject
     loss_held = heldout_denoise_loss(
-        model, ema, diffusion, held_items, key, args.n_eval_timesteps)
+        model, score_params, diffusion, held_items, key, args.n_eval_timesteps)
     loss_train = heldout_denoise_loss(
-        model, ema, diffusion, train_items, key, args.n_eval_timesteps)
+        model, score_params, diffusion, train_items, key, args.n_eval_timesteps)
     print(f"[stage2] denoise loss held-out {loss_held} / train {loss_train}")
 
     # Nearest-GT plane PSNR per layer (NHWC [-1,1] space).
@@ -422,12 +467,13 @@ def main(argv=None):
         return (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
 
     for li, name in enumerate(LAYER_NAMES):
-        rgb, acc = rend[name]
+        rgb, acc = rend[name]  # flat (S*S, 3) / (S*S,) maps (render_image_masked)
         imageio.imwrite(
-            os.path.join(samples_dir, f"decoded_l{li}_{name}.png"), _to_u8(rgb))
+            os.path.join(samples_dir, f"decoded_l{li}_{name}.png"),
+            _to_u8(np.asarray(rgb).reshape(S, S, 3)))
         imageio.imwrite(
             os.path.join(samples_dir, f"decoded_l{li}_{name}_acc.png"),
-            _to_u8(acc if acc.ndim == 2 else acc[..., 0]))
+            _to_u8(np.asarray(acc).reshape(S, S)))
     for prev, cur in zip(LAYER_NAMES[:-1], LAYER_NAMES[1:]):
         rgb0, acc0 = rend[prev]
         rgb1, acc1 = rend[cur]
@@ -446,6 +492,8 @@ def main(argv=None):
     # ---- 6. Report -------------------------------------------------------
     metrics = {
         "diff_step": int(dstep),
+        "weights": weights_used,
+        "ema_rate": rate_str,
         "train_subjects": [os.path.basename(p) for p in train_paths],
         "heldout_subject": os.path.basename(heldout_path),
         "denoise_loss_heldout": loss_held,
@@ -469,8 +517,8 @@ def main(argv=None):
         f"(run_nerf_batch_ft.py flow) -> flagship ControlNet UNet trained "
         f"{args.diff_steps} steps on {len(train_paths)} subjects x 4 layers "
         f"(subject `{os.path.basename(heldout_path)}` fully held out) -> "
-        f"{args.num_samples}-sample 4-layer chain at B={args.sample_batch}, "
-        f"{args.respacing} respaced steps.",
+        f"{args.num_samples}-sample 4-layer chain (mixed-batch plan, "
+        f"{weights_used} weights), {args.respacing} respaced steps.",
         "",
         "## Held-out vs train denoise loss (stratified t-grid, "
         f"{args.n_eval_timesteps} timesteps)",
