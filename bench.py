@@ -179,6 +179,22 @@ def main() -> None:
     mixed_plan = plan_workload(25, measured_costs)
     mixed_25x4_s = 4.0 * sum(measured_costs[b] for b in mixed_plan)
     workload_25x4_s = min(naive_25x4_s, batched_25x4_s, mixed_25x4_s)
+    # END-TO-END measurement of the mixed plan (generate_workload through the
+    # real execution path), when scripts/measure_workload.py has run on this
+    # machine — otherwise the composed-from-primitives projection above.
+    mixed_measured_s = None
+    try:
+        import os
+
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "runs", "probes", "workload_25x4.json")
+        with open(probe) as f:
+            mixed_measured_s = float(json.load(f)["measured_s"])
+        # The measured end-to-end number REPLACES the mixed projection in the
+        # headline min (even if slower — honesty over optimism).
+        workload_25x4_s = min(naive_25x4_s, batched_25x4_s, mixed_measured_s)
+    except (OSError, KeyError, ValueError):
+        pass
 
     # ---- 3. 512^2 novel-view render of the final generated layer -------------
     S = 512
@@ -245,6 +261,9 @@ def main() -> None:
                 "workload_25x4_naive_b1_s": round(naive_25x4_s, 1),
                 "workload_25x4_batched_b8_s": round(batched_25x4_s, 1),
                 "workload_25x4_mixed_s": round(mixed_25x4_s, 1),
+                "workload_25x4_mixed_measured_s": (
+                    None if mixed_measured_s is None
+                    else round(mixed_measured_s, 1)),
                 "workload_25x4_plan": mixed_plan,
             }
         )

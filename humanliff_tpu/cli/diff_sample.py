@@ -105,17 +105,17 @@ def _load_ema_params(args):
     restored, step = ckpt.restore_state(args.model_dir, step=args.model_step)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {args.model_dir}")
-    ema = ckpt.get_field(restored, "ema_params")[args.ema_rate]
+    ema, rate_used = ckpt.get_ema(restored, args.ema_rate)
     # EMA burn-in guard: the EMA initializes AT the random init, so rate^step
     # of it is still that init — at 0.9999 and 6k steps that is 55%, and
     # sampling it produces saturated noise (round-4 campaign post-mortem).
-    init_w = float(args.ema_rate) ** max(int(step or 0), 0)
+    init_w = float(rate_used) ** max(int(step or 0), 0)
     if init_w > 0.1:
-        print(f"WARNING: EMA({args.ema_rate}) at step {step} still carries "
+        print(f"WARNING: EMA({rate_used}) at step {step} still carries "
               f"{init_w:.1%} of the random init — sampling RAW params instead "
               "(use a faster --ema_rate for short trainings)")
         return ckpt.get_field(restored, "params")
-    print(f"loaded EMA({args.ema_rate}) weights from step {step}")
+    print(f"loaded EMA({rate_used}) weights from step {step}")
     return ema
 
 

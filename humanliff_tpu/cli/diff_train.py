@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "score the in-memory weights directly — the flagship "
                         "state otherwise costs ~11-22 min of device->host "
                         "readback on the tunneled chip")
+    p.add_argument("--mid_save", type=str, default="full",
+                   choices=("full", "light"),
+                   help="periodic-save payload: 'light' keeps only {step, "
+                        "params, ema_params} (~half the flagship's ~22 min "
+                        "tunnel readback per save). Resuming from a light "
+                        "save restarts the optimizer fresh (warned) — the "
+                        "trade long tunneled campaigns take so wedge recovery "
+                        "(CLAUDE.md) is bounded without full-save stalls")
     p.add_argument("--total_steps", type=int, default=300000)
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -140,7 +148,22 @@ def main(argv=None):
         )
         print(f"resumed from step {start}")
 
-    mesh = make_mesh()
+    # The data axis must divide the batch (shard_batch places the leading
+    # axis across it). When it doesn't, cap the mesh at the largest divisor
+    # of batch_size instead of crashing — the single-host analog of the
+    # reference's per-rank batches (train_util.py:200-246), where every rank
+    # simply gets its own batch_size and world size never constrains it.
+    n_dev = len(jax.devices())
+    mesh_n = max(
+        d for d in range(1, min(n_dev, args.batch_size) + 1)
+        if args.batch_size % d == 0
+    )
+    if mesh_n != n_dev:
+        print(f"mesh capped to {mesh_n}/{n_dev} devices: batch_size "
+              f"{args.batch_size} does not divide across {n_dev} "
+              "(raise --batch_size to a multiple of the device count to use "
+              "every chip)")
+    mesh = make_mesh(mesh_n)
     if args.zero_shard and mesh.devices.size > 1:
         from humanliff_tpu.parallel import (
             place_with_shardings,
@@ -194,24 +217,36 @@ def main(argv=None):
         from humanliff_tpu.data.triplane_data import TriplaneDataset
 
         ds = TriplaneDataset(args.data_dir)
-        # Single-device only: the multi-device ZeRO step shards the batch
-        # by example and has no sharding rule for a replicated plane table
-        # (real pods stream from per-host loaders anyway).
-        use_device_data = mesh.devices.size == 1 and (
+        n_mesh = mesh.devices.size
+        n_items = ds.planes.shape[0] * ds.num_layers
+        # Multi-device: the packed table shards BY EXAMPLE across the data
+        # axis (the stage-1 instance-sharded-table design, parallel/mesh.py)
+        # — per-chip HBM holds 1/n of the dataset and the jitted step's
+        # planes[idx] gather rides ICI collectives, never the host link.
+        # Requires the item count to divide the mesh; odd counts fall back
+        # to the host loader (real pods stream from per-host loaders anyway).
+        use_device_data = (
             args.device_data == "true"
             or (args.device_data == "auto" and ds.planes.nbytes <= 1 << 30)
-        )
+        ) and n_items % n_mesh == 0
+        if args.device_data == "true" and not use_device_data:
+            print(f"--device_data disabled: {n_items} items do not divide "
+                  f"across the {n_mesh}-device mesh")
         if use_device_data:
             # Upload the whole packed dataset ONCE; per step only (idx, y)
             # cross the host<->device link and train_step gathers
             # (x, x_cond) on device (see train/stage2.py). NCHW storage ->
             # NHWC flat (N*L, D, D, C) to match the UNet layout.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             L = ds.num_layers
             flat = np.asarray(ds.planes, np.float32)
             flat = flat.reshape(-1, *flat.shape[2:]).transpose(0, 2, 3, 1)
-            planes_dev = jax.device_put(np.ascontiguousarray(flat))
+            planes_dev = jax.device_put(
+                np.ascontiguousarray(flat), NamedSharding(mesh, P("data")))
             print(f"device-resident dataset: {flat.nbytes / 1e6:.0f} MB, "
-                  f"{flat.shape[0]} items")
+                  f"{flat.shape[0]} items, example-sharded over "
+                  f"{n_mesh} device(s)")
 
             def item_idx(index, rng=None):
                 return {"idx": np.int32(index), "y": np.int32(index % L)}
@@ -256,7 +291,20 @@ def main(argv=None):
             t0 = time.time()
             log.dumpkvs(step)
         if step % args.save_interval == 0 or step == 20000:
-            print("saved", ckpt.save_state(args.logdir, step, state))
+            # A periodic save landing ON the final step defers to the
+            # final-save policy below: with --skip_final_save it would
+            # otherwise write the full ~8 GB state the flag exists to avoid
+            # (and then claim nothing was written); with --light_final_save
+            # it would shadow the light save with a full one.
+            if step == args.total_steps and (
+                    args.skip_final_save or args.light_final_save):
+                pass
+            elif args.mid_save == "light":
+                print("saved (light: params+EMA only)",
+                      ckpt.save_state(args.logdir, step,
+                                      _light_state(step, state)))
+            else:
+                print("saved", ckpt.save_state(args.logdir, step, state))
             if os.environ.get("DIFFUSION_TRAINING_TEST"):
                 print("DIFFUSION_TRAINING_TEST set: early exit after first save")
                 return state
@@ -264,13 +312,18 @@ def main(argv=None):
         print("skip_final_save: no final checkpoint written "
               "(final state returned in-memory)")
     elif args.light_final_save:
-        light = {"step": np.asarray(step, np.int32), "params": state.params,
-                 "ema_params": state.ema_params}
         print("saved (light: params+EMA only)",
-              ckpt.save_state(args.logdir, step, light))
+              ckpt.save_state(args.logdir, step, _light_state(step, state)))
     else:
         ckpt.save_state(args.logdir, step, state)
     return state
+
+
+def _light_state(step: int, state):
+    """params+EMA-only checkpoint payload (no Adam moments — half the
+    device->host readback; resume restarts the optimizer fresh)."""
+    return {"step": np.asarray(step, np.int32), "params": state.params,
+            "ema_params": state.ema_params}
 
 
 if __name__ == "__main__":

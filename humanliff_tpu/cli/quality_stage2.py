@@ -90,11 +90,16 @@ def build_parser():
     # carries 0.9999^6000 ~ 55% of that init — sampling it produces pure noise
     # (round-4 campaign post-mortem). 0.999 leaves 0.25% init at 6k steps.
     p.add_argument("--ema_rate", type=str, default="0.999")
-    # Sampling / scoring leg.
+    p.add_argument("--mid_save", type=str, default="full",
+                   choices=("full", "light"),
+                   help="periodic diffusion-save payload (forwarded to "
+                        "diff_train): 'light' halves the per-save tunnel "
+                        "readback; resume restarts Adam fresh. Long tunneled "
+                        "campaigns pair this with --final_save none")
+    # Sampling / scoring leg. Batch sizes come from generate_workload's
+    # internal measured-cost DP plan (B=8 sweet spot + B=1 remainder,
+    # docs/BATCH_PATHOLOGY.md) — there is no user batch knob.
     p.add_argument("--num_samples", type=int, default=8)
-    p.add_argument("--sample_batch", type=int, default=8,
-                   help="B=8 is the measured single-chip batch sweet spot "
-                        "(docs/BATCH_PATHOLOGY.md)")
     p.add_argument("--respacing", type=str, default="250")
     p.add_argument("--decode_size", type=int, default=256)
     p.add_argument("--fidelity_threshold", type=float, default=0.1)
@@ -156,19 +161,86 @@ def _export_campaign_planes(args, planes_dir: str):
     return paths, True
 
 
+def _weights_fingerprint(params) -> str:
+    """Cheap per-run identity of the weights that produced the samples.
+
+    The provenance sidecar must tie samples to the WEIGHTS scored, not just a
+    step number: with --final_save none nothing persists, so a rerun retrains
+    from scratch to the same step and a step-only check would reuse the old
+    run's samples against the new run's weights (ADVICE r4). Hashing the few
+    smallest leaves is enough — every Adam step moves every trained leaf — and
+    reads back only a few KB through the tunnel.
+    """
+    import hashlib
+
+    import jax
+
+    leaves = sorted(jax.tree_util.tree_leaves(params),
+                    key=lambda l: getattr(l, "size", 0))[:4]
+    h = hashlib.sha1()
+    for leaf in leaves:
+        h.update(np.asarray(jax.device_get(leaf), np.float32).tobytes())
+    return h.hexdigest()[:16]
+
+
+def _write_failure_report(work: str, stage: str, exc: BaseException) -> None:
+    """Degraded STAGE2.md for any terminal path that is not a full success.
+
+    Whatever partial artifacts exist under ``work`` (samples npz, fidelity
+    json) must never again read as a completed run (the round-4 noise samples
+    sat unlabeled in runs/ for a round); the report is the in-tree label.
+    """
+    lines = [
+        "# STAGE2 — generative-quality campaign (synthetic benchmark)",
+        "",
+        "## STATUS: FAILED / INCOMPLETE",
+        "",
+        f"The campaign terminated during the **{stage}** leg before scoring "
+        "completed:",
+        "",
+        "```",
+        f"{type(exc).__name__}: {exc}",
+        "```",
+        "",
+        "Any samples/fidelity artifacts under this directory are PARTIAL "
+        "output of an incomplete run — do not read them as campaign results. "
+        "Re-run `bash scripts/quality_stage2.sh` (every leg resumes from its "
+        "surviving artifacts); a successful run replaces this report.",
+        "",
+    ]
+    try:
+        os.makedirs(work, exist_ok=True)
+        with open(os.path.join(work, "STAGE2.md"), "w") as f:
+            f.write("\n".join(lines))
+        print(f"[stage2] wrote FAILURE report {work}/STAGE2.md ({stage}: {exc})")
+    except OSError as io_err:  # never mask the original failure
+        print(f"[stage2] could not write failure report: {io_err}")
+
+
 def main(argv=None):
     from humanliff_tpu.utils.runtime import setup_runtime
 
     setup_runtime()
     args = build_parser().parse_args(argv)
     work = args.work_dir or os.path.join(args.out_dir, "stage2")
+    status = {"stage": "setup"}
+    try:
+        _run(args, work, status)
+    except BaseException as exc:
+        _write_failure_report(work, status["stage"], exc)
+        raise
+
+
+def _run(args, work: str, status: dict):
     planes_dir = os.path.join(work, "planes")
     os.makedirs(planes_dir, exist_ok=True)
 
     # ---- 1. Export the campaign subjects --------------------------------
+    status["stage"] = "stage-1 plane export"
     campaign_paths, exports_changed = _export_campaign_planes(args, planes_dir)
 
     # ---- 2. Fine-tune extra subjects against the frozen decoder ---------
+    status["stage"] = "frozen-decoder fine-tune"
     ft_paths = sorted(
         p for p in glob.glob(os.path.join(planes_dir, "subject*.npz"))
     )
@@ -206,6 +278,7 @@ def main(argv=None):
           f"held out: {os.path.basename(heldout_path)}")
 
     # ---- 3. Pack + train the diffusion model ----------------------------
+    status["stage"] = "diffusion training"
     from humanliff_tpu.data.triplane_data import TriplaneDataset, pack_subject_planes
 
     packed_train = os.path.join(work, "planes_train.npy")
@@ -257,6 +330,7 @@ def main(argv=None):
             # first step readback). The round-3 444 ms/step measurement was
             # bf16 + remat + donation (CLAUDE.md).
             "--use_checkpoint", "true",
+            "--mid_save", args.mid_save,
             "--light_final_save",
             "true" if final_save == "light" else "false",
             "--skip_final_save",
@@ -268,6 +342,7 @@ def main(argv=None):
     # In-memory final state when the training leg just ran (no checkpoint
     # round-trip: the flagship save+reload costs ~11-22 min EACH WAY on the
     # tunneled chip); checkpoint restore otherwise (resumed invocation).
+    status["stage"] = "weight resolution"
     import jax
 
     from humanliff_tpu.eval.fidelity import (
@@ -292,7 +367,8 @@ def main(argv=None):
     if state_mem is not None:
         dstep = int(jax.device_get(state_mem.step))
         raw_params = state_mem.params
-        ema = state_mem.ema_params[rate_str]
+        ema, rate_str = ckpt.get_ema(
+            {"ema_params": state_mem.ema_params}, rate_str)
         print(f"[stage2] scoring in-memory weights at step {dstep}")
     else:
         restored, dstep = ckpt.restore_state(diff_dir)
@@ -301,7 +377,7 @@ def main(argv=None):
                 f"no diffusion checkpoint under {diff_dir} and the training "
                 "leg did not run — delete stale samples or lower --diff_steps")
         raw_params = ckpt.get_field(restored, "params")
-        ema = ckpt.get_field(restored, "ema_params")[rate_str]
+        ema, rate_str = ckpt.get_ema(restored, rate_str)
         print(f"[stage2] scoring checkpoint weights at step {dstep}")
     # EMA burn-in guard: EMA initializes AT the random init, so after few
     # steps it still mostly IS the random init — rate^step of it. Sampling
@@ -316,25 +392,31 @@ def main(argv=None):
         score_params, weights_used = ema, f"ema({rate_str})"
 
     # ---- 4b. Sample the layered chain (mixed-batch plan) ----------------
+    status["stage"] = "chain sampling"
     samples_dir = os.path.join(work, "samples")
     os.makedirs(samples_dir, exist_ok=True)
     sample_files = {
         name: os.path.join(samples_dir, f"samples_{name}.npz")
         for name in LAYER_NAMES
     }
-    # Samples are valid only if produced by the CURRENT weights' step: a
-    # raised --diff_steps (or resumed training) advances the checkpoint, and
-    # scoring new weights against old samples would stamp an inconsistent
-    # report. The producing step rides in a sidecar meta file.
+    # Samples are valid only if produced by the CURRENT weights — checked by
+    # step AND a weight fingerprint: with --final_save none nothing persists,
+    # so a rerun retrains from scratch to the SAME step with different
+    # weights, and a step-only check would score them against the previous
+    # run's samples (ADVICE r4). Both ride in a sidecar meta file.
+    weights_fp = _weights_fingerprint(score_params)
     meta_path = os.path.join(samples_dir, "samples_meta.json")
-    produced_by = -1
+    produced_by, produced_fp = -1, ""
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            produced_by = json.load(f).get("diff_step", -1)
+            meta = json.load(f)
+        produced_by = meta.get("diff_step", -1)
+        produced_fp = meta.get("weights_fp", "")
     have_all = all(os.path.exists(p) for p in sample_files.values())
-    if have_all and produced_by != dstep:
+    if have_all and (produced_by != dstep or produced_fp != weights_fp):
         print(f"[stage2] resampling: existing samples from diff step "
-              f"{produced_by}, weights are now at {dstep}")
+              f"{produced_by} (fp {produced_fp or 'unknown'}), weights are "
+              f"now at {dstep} (fp {weights_fp})")
         for p in list(sample_files.values()) + [
                 os.path.join(samples_dir, "fidelity.json")]:
             if os.path.exists(p):
@@ -361,7 +443,7 @@ def main(argv=None):
                 chain_fidelity_report(samples, args.fidelity_threshold), f,
                 indent=2)
         with open(meta_path, "w") as f:
-            json.dump({"diff_step": int(dstep)}, f)
+            json.dump({"diff_step": int(dstep), "weights_fp": weights_fp}, f)
     else:
         samples = {
             name: ckpt.load_samples_npz(path).astype(np.float32)
@@ -369,7 +451,7 @@ def main(argv=None):
         }
 
     # ---- 5. Score --------------------------------------------------------
-
+    status["stage"] = "scoring"
     key = jax.random.key(args.seed + 7)
 
     def plane_items(packed):
@@ -490,6 +572,7 @@ def main(argv=None):
         plane_fid = chain_fidelity_report(samples, args.fidelity_threshold)
 
     # ---- 6. Report -------------------------------------------------------
+    status["stage"] = "report"
     metrics = {
         "diff_step": int(dstep),
         "weights": weights_used,
@@ -503,14 +586,18 @@ def main(argv=None):
         "decoded_fidelity": decoded,
         "decode_box": box.tolist(),
     }
-    with open(os.path.join(work, "stage2_metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
-
     lines = [
         "# STAGE2 — generative-quality campaign (synthetic benchmark)",
         "",
-        f"Diffusion checkpoint: step {dstep}; campaign command: "
-        "`bash scripts/quality_stage2.sh`",
+        f"Diffusion weights: step {dstep}, {weights_used} (fingerprint "
+        f"{weights_fp}); campaign command: `bash scripts/quality_stage2.sh`",
+        "",
+        f"Training scale: {args.diff_steps} diffusion steps on one v5e chip. "
+        "The reference trains its SynBody model 200k-300k steps on 8 GPUs "
+        "(README.md:149); this campaign demonstrates that the pipeline "
+        "learns the layered distribution and the chain conditions — it is "
+        "evidence of a working generative stack at campaign scale, not "
+        "reference-matching sample quality.",
         "",
         f"Pipeline: stage-1 campaign planes ({len(campaign_paths)} subjects) "
         f"+ {len(ft_paths)} frozen-decoder fine-tuned subjects "
@@ -558,9 +645,25 @@ def main(argv=None):
     for name in LAYER_NAMES:
         lines.append(f"| {name} | {nearest[name]:.2f} |")
     lines.append("")
+    if weights_used.startswith("raw"):
+        lines += [
+            "## WARNING: scored RAW params (EMA burn-in incomplete)",
+            "",
+            f"EMA({rate_str}) at step {dstep} still carried >10% of the "
+            "random init, so the campaign scored the raw training weights "
+            "instead. Train longer (or use a faster --ema_rate) for "
+            "EMA-weight results.",
+            "",
+        ]
     with open(os.path.join(work, "STAGE2.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"[stage2] wrote {work}/STAGE2.md")
+    # metrics.json written LAST: the one artifact that only exists after a
+    # fully-successful run (the supervisor's DONE_FILE; STAGE2.md also exists
+    # on failure paths, where it carries the failure label instead).
+    with open(os.path.join(work, "stage2_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(f"[stage2] wrote {work}/stage2_metrics.json")
 
 
 if __name__ == "__main__":

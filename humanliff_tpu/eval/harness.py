@@ -143,7 +143,11 @@ def evaluate_views(
     }
     agg["time_per_image_s"] = float(np.mean([r["time_s"] for r in rows]))
     if savedir:
-        with open(os.path.join(savedir, "metrics.json"), "w") as f:
+        # Keyed by tag: one evaluation writes several (subject, layer) passes
+        # into the same savedir, and an untagged name would keep only the
+        # last pass (the reference writes one psnr/ssim/lpips txt per run dir,
+        # all_test.py:220-227).
+        with open(os.path.join(savedir, f"metrics_{tag}.json"), "w") as f:
             json.dump({"aggregate": agg, "per_view": rows}, f, indent=2)
-        np.save(os.path.join(savedir, "metrics.npy"), rows)
+        np.save(os.path.join(savedir, f"metrics_{tag}.npy"), rows)
     return agg

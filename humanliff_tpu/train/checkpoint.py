@@ -70,6 +70,30 @@ def get_field(restored: Any, name: str):
     return getattr(restored, name)
 
 
+def get_ema(restored: Any, rate_str: str):
+    """EMA params for ``rate_str``, with a single-rate fallback.
+
+    Checkpoints are keyed by the rate string they were TRAINED with
+    (train_util.py:312-335 names files ema_{rate}_{step}.pt the same way); a
+    caller configured for a different rate (e.g. scoring an old 0.9999
+    checkpoint after the campaign default moved to 0.999) would otherwise die
+    on a bare KeyError. When exactly one rate exists, use it with a warning;
+    with several, raise listing what's available. Returns (params, rate_used).
+    """
+    ema = get_field(restored, "ema_params")
+    if rate_str in ema:
+        return ema[rate_str], rate_str
+    rates = sorted(ema.keys())
+    if len(rates) == 1:
+        print(f"[checkpoint] WARNING: no EMA({rate_str}) in checkpoint; "
+              f"falling back to the only rate present, EMA({rates[0]})")
+        return ema[rates[0]], rates[0]
+    raise KeyError(
+        f"EMA rate {rate_str!r} not in checkpoint (available: {rates}); "
+        "pass --ema_rate matching the training run"
+    )
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     base = _path(ckpt_dir)
     if not os.path.isdir(base):

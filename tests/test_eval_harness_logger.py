@@ -41,8 +41,8 @@ def test_evaluate_views_writes_metrics(tmp_path):
         tag="t",
     )
     assert {"mse", "psnr", "ssim", "time_per_image_s"} <= set(agg)
-    assert os.path.exists(tmp_path / "metrics.json")
-    with open(tmp_path / "metrics.json") as f:
+    assert os.path.exists(tmp_path / "metrics_t.json")
+    with open(tmp_path / "metrics_t.json") as f:
         data = json.load(f)
     assert len(data["per_view"]) == 2
     assert os.path.exists(tmp_path / "t_view000_pred.png")

@@ -73,7 +73,6 @@ def test_quality_stage2_campaign(tmp_path):
         "--diff_batch_size", "8",
         "--save_interval", "4",
         "--num_samples", "2",
-        "--sample_batch", "2",
         "--respacing", "4",
         "--decode_size", "24",
         "--n_eval_timesteps", "2",
@@ -108,6 +107,14 @@ def test_quality_stage2_campaign(tmp_path):
 
     report = open(os.path.join(work, "STAGE2.md")).read()
     assert "held-out" in report and "Chain fidelity" in report
+    # At 4 steps the EMA burn-in guard fires (0.999^4 ~ 1) — the report must
+    # still be written, labeled with the raw-weights degradation (VERDICT r4).
+    assert "WARNING: scored RAW params" in report
+    assert metrics["weights"].startswith("raw")
+    # Provenance ties samples to the weights, not just the step (ADVICE r4).
+    with open(os.path.join(work, "samples", "samples_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["diff_step"] == 4 and len(meta["weights_fp"]) == 16
 
     # Re-running skips every completed leg (resume contract) and reproduces
     # the report — with fidelity.json removed, to exercise the recompute
@@ -122,7 +129,7 @@ def test_quality_stage2_campaign(tmp_path):
         "--num_channels", "16", "--num_res_blocks", "1",
         "--attention_resolutions", "8", "--diff_steps", "4",
         "--diff_batch_size", "8", "--save_interval", "4",
-        "--num_samples", "2", "--sample_batch", "2", "--respacing", "4",
+        "--num_samples", "2", "--respacing", "4",
         "--decode_size", "24", "--n_eval_timesteps", "2", "--seed", "0",
     ])
     assert os.path.exists(os.path.join(work, "STAGE2.md"))
@@ -142,7 +149,7 @@ def test_quality_stage2_campaign(tmp_path):
         "--num_channels", "16", "--num_res_blocks", "1",
         "--attention_resolutions", "8", "--diff_steps", "8",
         "--diff_batch_size", "8", "--save_interval", "4",
-        "--num_samples", "2", "--sample_batch", "2", "--respacing", "4",
+        "--num_samples", "2", "--respacing", "4",
         "--decode_size", "24", "--n_eval_timesteps", "2", "--seed", "0",
     ]
     from humanliff_tpu.cli import quality_stage2 as qs2
@@ -177,6 +184,26 @@ def test_quality_stage2_campaign(tmp_path):
         ns, os.path.join(work, "planes"))
     assert not changed
     assert len(paths) == 2 and all("_000012" in p for p in paths)
+
+
+def test_failure_report_always_written(tmp_path):
+    """Every terminal path leaves a STAGE2.md explaining the run's state: a
+    campaign that dies (here: no stage-1 checkpoint at all) must label the
+    work dir as failed instead of leaving partial artifacts that read as a
+    completed run (the round-4 noise-sample lesson, VERDICT r4 item 5)."""
+    from humanliff_tpu.cli import quality_stage2
+
+    out = str(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError):
+        quality_stage2.main([
+            "--out_dir", out, "--num_instance", "2",
+            "--triplane_dim", "16", "--triplane_ch", "9",
+        ])
+    report = open(os.path.join(out, "stage2", "STAGE2.md")).read()
+    assert "STATUS: FAILED" in report
+    assert "stage-1 plane export" in report
+    # The success sentinel must NOT exist on a failure path.
+    assert not os.path.exists(os.path.join(out, "stage2", "stage2_metrics.json"))
 
 
 def test_recon_refit_recovery(tmp_path):

@@ -158,3 +158,44 @@ def test_device_resident_indexed_batch_matches_materialized():
         assert np.allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_device_data_example_sharded_multi_device(tmp_path):
+    """diff_train --device_data true on the 8-device mesh: the packed table
+    shards BY EXAMPLE across the data axis (cli/diff_train.py) and the jitted
+    step's planes[idx] gather rides XLA collectives — the multi-device form
+    of the device-resident data path (VERDICT r4 item 8)."""
+    import os
+
+    from humanliff_tpu.cli import diff_train
+
+    rng = np.random.default_rng(11)
+    packed = str(tmp_path / "packed.npy")
+    # (N=2 subjects, L=4 layers, C, D=16, D) -> 8 items over the 8-device mesh.
+    np.save(packed, rng.normal(size=(2, 4, 6, 16, 16)).astype(np.float32) * 0.3)
+    logdir = str(tmp_path / "d")
+    state = diff_train.main([
+        "--data_dir", packed,
+        "--logdir", logdir,
+        "--batch_size", "8",
+        "--device_data", "true",
+        "--image_size", "16",
+        "--in_channels", "6",
+        "--out_channels", "6",
+        "--num_channels", "8",
+        "--num_res_blocks", "1",
+        "--attention_resolutions", "8",
+        "--lr", "1e-3",
+        "--save_interval", "1000",
+        "--log_interval", "2",
+        "--skip_final_save", "true",
+        "--total_steps", "4",
+        "--seed", "0",
+    ])
+    assert int(jax.device_get(state.step)) == 4
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(state.params))
+    # skip_final_save: nothing persisted.
+    from humanliff_tpu.train import checkpoint as ckpt
+
+    assert ckpt.latest_step(logdir) is None
