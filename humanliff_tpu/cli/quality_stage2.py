@@ -161,6 +161,33 @@ def _export_campaign_planes(args, planes_dir: str):
     return paths, True
 
 
+def _loss_curve_section(diff_dir: str, max_rows: int = 12) -> list:
+    """Training-loss curve from the diffusion leg's progress.csv, downsampled
+    to ~max_rows rows (VERDICT r4 item 3: the report must show the curve, not
+    just the final step)."""
+    path = os.path.join(diff_dir, "progress.csv")
+    if not os.path.exists(path):
+        return []
+    try:
+        rows = np.genfromtxt(path, delimiter=",", names=True)
+        steps = np.atleast_1d(rows["step"])
+        loss = np.atleast_1d(rows["loss"])
+    except Exception:
+        return []
+    if steps.size == 0:
+        return []
+    stride = max(1, steps.size // max_rows)
+    picks = list(range(0, steps.size, stride))
+    if picks[-1] != steps.size - 1:
+        picks.append(steps.size - 1)
+    out = ["## Training-loss curve (per-100-step means from progress.csv)",
+           "", "| step | loss |", "|---|---|"]
+    for i in picks:
+        out.append(f"| {int(steps[i])} | {loss[i]:.4f} |")
+    out.append("")
+    return out
+
+
 def _weights_fingerprint(params) -> str:
     """Cheap per-run identity of the weights that produced the samples.
 
@@ -390,6 +417,16 @@ def _run(args, work: str, status: dict):
         score_params, weights_used = raw_params, "raw (EMA burn-in incomplete)"
     else:
         score_params, weights_used = ema, f"ema({rate_str})"
+    # Free what we will not score BEFORE sampling: the in-memory flagship
+    # TrainState is ~8 GB (params + Adam moments + EMA) and the B=8 sampling
+    # chain + decode need that HBM headroom (the round-4 lesson: memory-scale
+    # bugs are invisible to tiny-dims CPU tests). Dropping the Python
+    # references releases the device buffers; only score_params stays.
+    if score_params is ema:
+        raw_params = None
+    ema = None
+    state_mem = None
+    restored = None
 
     # ---- 4b. Sample the layered chain (mixed-batch plan) ----------------
     status["stage"] = "chain sampling"
@@ -645,6 +682,7 @@ def _run(args, work: str, status: dict):
     for name in LAYER_NAMES:
         lines.append(f"| {name} | {nearest[name]:.2f} |")
     lines.append("")
+    lines += _loss_curve_section(diff_dir)
     if weights_used.startswith("raw"):
         lines += [
             "## WARNING: scored RAW params (EMA burn-in incomplete)",
