@@ -290,6 +290,8 @@ def main(argv=None):
             log.logkv("steps_per_sec", args.log_interval / (time.time() - t0))
             t0 = time.time()
             log.dumpkvs(step)
+        # The unconditional step-20000 save is reference parity
+        # (train_util.py:181), not debug leftover.
         if step % args.save_interval == 0 or step == 20000:
             # A periodic save landing ON the final step defers to the
             # final-save policy below: with --skip_final_save it would
