@@ -320,13 +320,15 @@ def _decode_samples(args, samples_nhwc: np.ndarray, layer_name: str):
             imageio.imwrite(
                 os.path.join(args.out_dir, f"{layer_name}_s{si}_v{v:03d}.png"), img
             )
-        try:
-            imageio.mimwrite(
-                os.path.join(args.out_dir, f"{layer_name}_s{si}.mp4"),
-                frames, fps=20,
-            )
-        except Exception as e:  # mp4 writer may be unavailable offline
-            print(f"video export skipped: {e}")
+        # mp4 when an ffmpeg backend exists (the reference contract,
+        # triplane_sample_layered.py:180-199); first-party MJPEG-AVI fallback
+        # otherwise (utils/video.py) — never silently PNG-only.
+        from humanliff_tpu.utils.video import write_video
+
+        write_video(
+            os.path.join(args.out_dir, f"{layer_name}_s{si}.mp4"), frames,
+            fps=20,
+        )
 
         verts, tris = extract_mesh(
             decoder, decoder_params, planes, bounds,
