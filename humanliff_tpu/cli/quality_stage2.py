@@ -105,6 +105,11 @@ def build_parser():
     p.add_argument("--fidelity_threshold", type=float, default=0.1)
     p.add_argument("--n_eval_timesteps", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--report_only", action="store_true",
+                   help="rebuild STAGE2.md from an existing "
+                        "stage2_metrics.json (no training/sampling/scoring; "
+                        "lets report-format improvements regenerate the "
+                        "artifact offline)")
     return p
 
 
@@ -250,6 +255,10 @@ def main(argv=None):
     setup_runtime()
     args = build_parser().parse_args(argv)
     work = args.work_dir or os.path.join(args.out_dir, "stage2")
+    if args.report_only:
+        with open(os.path.join(work, "stage2_metrics.json")) as f:
+            _write_success_report(work, json.load(f))
+        return
     status = {"stage": "setup"}
     try:
         _run(args, work, status)
@@ -613,7 +622,14 @@ def _run(args, work: str, status: dict):
     metrics = {
         "diff_step": int(dstep),
         "weights": weights_used,
+        "weights_fp": weights_fp,
         "ema_rate": rate_str,
+        "diff_steps": int(args.diff_steps),
+        "num_samples": int(args.num_samples),
+        "respacing": args.respacing,
+        "n_eval_timesteps": int(args.n_eval_timesteps),
+        "n_campaign_subjects": len(campaign_paths),
+        "n_ft_subjects": len(ft_paths),
         "train_subjects": [os.path.basename(p) for p in train_paths],
         "heldout_subject": os.path.basename(heldout_path),
         "denoise_loss_heldout": loss_held,
@@ -623,29 +639,65 @@ def _run(args, work: str, status: dict):
         "decoded_fidelity": decoded,
         "decode_box": box.tolist(),
     }
+    _write_success_report(work, metrics)
+    # metrics.json written LAST: the one artifact that only exists after a
+    # fully-successful run (the supervisor's DONE_FILE; STAGE2.md also exists
+    # on failure paths, where it carries the failure label instead).
+    with open(os.path.join(work, "stage2_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(f"[stage2] wrote {work}/stage2_metrics.json")
+
+
+def _write_success_report(work: str, metrics: dict) -> None:
+    """STAGE2.md from the metrics dict (regenerable offline: --report_only
+    rebuilds the report from stage2_metrics.json + the samples/train dirs
+    without touching weights or the TPU)."""
+    from humanliff_tpu.sampling.layered import LAYER_NAMES
+
+    dstep = metrics["diff_step"]
+    weights_used = metrics["weights"]
+    rate_str = metrics["ema_rate"]
+    loss_held = metrics["denoise_loss_heldout"]
+    loss_train = metrics["denoise_loss_train"]
+    plane_fid = metrics["plane_fidelity"]
+    decoded = metrics["decoded_fidelity"]
+    nearest = metrics["nearest_gt_psnr"]
+    n_train = len(metrics["train_subjects"])
+    # Context keys absent from metrics.json files written before --report_only
+    # existed get best-effort defaults (dstep IS the trained step count when
+    # training ran to completion in one campaign).
+    metrics = dict(metrics)
+    metrics.setdefault("diff_steps", dstep)
+    metrics.setdefault("num_samples", "n")
+    metrics.setdefault("respacing", "250")
+    metrics.setdefault("n_eval_timesteps", 16)
+    metrics.setdefault("n_campaign_subjects", "?")
+    metrics.setdefault("n_ft_subjects", "?")
     lines = [
         "# STAGE2 — generative-quality campaign (synthetic benchmark)",
         "",
         f"Diffusion weights: step {dstep}, {weights_used} (fingerprint "
-        f"{weights_fp}); campaign command: `bash scripts/quality_stage2.sh`",
+        f"{metrics.get('weights_fp', 'n/a')}); campaign command: "
+        "`bash scripts/quality_stage2.sh`",
         "",
-        f"Training scale: {args.diff_steps} diffusion steps on one v5e chip. "
-        "The reference trains its SynBody model 200k-300k steps on 8 GPUs "
-        "(README.md:149); this campaign demonstrates that the pipeline "
+        f"Training scale: {metrics['diff_steps']} diffusion steps on one v5e "
+        "chip. The reference trains its SynBody model 200k-300k steps on 8 "
+        "GPUs (README.md:149); this campaign demonstrates that the pipeline "
         "learns the layered distribution and the chain conditions — it is "
         "evidence of a working generative stack at campaign scale, not "
         "reference-matching sample quality.",
         "",
-        f"Pipeline: stage-1 campaign planes ({len(campaign_paths)} subjects) "
-        f"+ {len(ft_paths)} frozen-decoder fine-tuned subjects "
+        f"Pipeline: stage-1 campaign planes "
+        f"({metrics['n_campaign_subjects']} subjects) "
+        f"+ {metrics['n_ft_subjects']} frozen-decoder fine-tuned subjects "
         f"(run_nerf_batch_ft.py flow) -> flagship ControlNet UNet trained "
-        f"{args.diff_steps} steps on {len(train_paths)} subjects x 4 layers "
-        f"(subject `{os.path.basename(heldout_path)}` fully held out) -> "
-        f"{args.num_samples}-sample 4-layer chain (mixed-batch plan, "
-        f"{weights_used} weights), {args.respacing} respaced steps.",
+        f"{metrics['diff_steps']} steps on {n_train} subjects x 4 layers "
+        f"(subject `{metrics['heldout_subject']}` fully held out) -> "
+        f"{metrics['num_samples']}-sample 4-layer chain (mixed-batch plan, "
+        f"{weights_used} weights), {metrics['respacing']} respaced steps.",
         "",
         "## Held-out vs train denoise loss (stratified t-grid, "
-        f"{args.n_eval_timesteps} timesteps)",
+        f"{metrics['n_eval_timesteps']} timesteps)",
         "",
         "| layer | held-out loss | train loss |",
         "|---|---|---|",
@@ -682,7 +734,24 @@ def _run(args, work: str, status: dict):
     for name in LAYER_NAMES:
         lines.append(f"| {name} | {nearest[name]:.2f} |")
     lines.append("")
-    lines += _loss_curve_section(diff_dir)
+    # Visual evidence inline: the decoded render (+ opacity) of sample 0 of
+    # each GENERATED layer, straight from the frozen stage-1 decoder — the
+    # analog of the reference's saved decode images
+    # (triplane_sample_layered.py:152-179).
+    pngs = [
+        (name, f"samples/decoded_l{li}_{name}.png")
+        for li, name in enumerate(LAYER_NAMES)
+        if os.path.exists(os.path.join(work, "samples",
+                                       f"decoded_l{li}_{name}.png"))
+    ]
+    if pngs:
+        lines += ["## Decoded renders (sample 0, frozen stage-1 decoder)", ""]
+        lines.append("| " + " | ".join(n for n, _ in pngs) + " |")
+        lines.append("|" + "---|" * len(pngs))
+        lines.append(
+            "| " + " | ".join(f"![{n}]({p})" for n, p in pngs) + " |")
+        lines.append("")
+    lines += _loss_curve_section(os.path.join(work, "train"))
     if weights_used.startswith("raw"):
         lines += [
             "## WARNING: scored RAW params (EMA burn-in incomplete)",
@@ -696,12 +765,6 @@ def _run(args, work: str, status: dict):
     with open(os.path.join(work, "STAGE2.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"[stage2] wrote {work}/STAGE2.md")
-    # metrics.json written LAST: the one artifact that only exists after a
-    # fully-successful run (the supervisor's DONE_FILE; STAGE2.md also exists
-    # on failure paths, where it carries the failure label instead).
-    with open(os.path.join(work, "stage2_metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
-    print(f"[stage2] wrote {work}/stage2_metrics.json")
 
 
 if __name__ == "__main__":

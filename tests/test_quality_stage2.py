@@ -107,6 +107,14 @@ def test_quality_stage2_campaign(tmp_path):
 
     report = open(os.path.join(work, "STAGE2.md")).read()
     assert "held-out" in report and "Chain fidelity" in report
+    # The decoded per-layer renders are embedded as the report's visual
+    # evidence (the triplane_sample_layered.py:152-179 analog).
+    assert "Decoded renders" in report and "decoded_l0_person.png" in report
+    # --report_only rebuilds STAGE2.md from stage2_metrics.json alone.
+    os.remove(os.path.join(work, "STAGE2.md"))
+    quality_stage2.main(["--out_dir", out, "--report_only"])
+    rebuilt = open(os.path.join(work, "STAGE2.md")).read()
+    assert "Chain fidelity" in rebuilt and "Decoded renders" in rebuilt
     # At 4 steps the EMA burn-in guard fires (0.999^4 ~ 1) — the report must
     # still be written, labeled with the raw-weights degradation (VERDICT r4).
     assert "WARNING: scored RAW params" in report
