@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--lr_anneal_steps", type=int, default=0)
     p.add_argument("--ema_rate", type=str, default="0.9999")
+    p.add_argument("--grad_clip_norm", type=float, default=1.0,
+                   help="global-norm gradient clip on top of the reference's "
+                        "element-value clip — the guard its fp16 loss-scaler "
+                        "gave implicitly (one unclipped catastrophic batch "
+                        "collapsed a flagship campaign; train/optim.py). "
+                        "0 disables")
     p.add_argument("--schedule_sampler", type=str, default="uniform")
     p.add_argument("--use_amp", type=lambda s: s.lower() == "true", default=True)
     p.add_argument("--zero_shard", type=lambda s: s.lower() == "true", default=True,
@@ -118,6 +124,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
         ema_rates=tuple(float(r) for r in args.ema_rate.split(",")),
+        grad_clip_norm=args.grad_clip_norm,
         microbatch=args.microbatch,
         use_bf16=args.use_amp,
         schedule_sampler=args.schedule_sampler,

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 import re
+import threading
+import time
 from typing import Any, Optional
 
 import jax
@@ -43,8 +45,30 @@ def save_state(ckpt_dir: str, step: int, state: Any) -> str:
         print(f"[checkpoint] removing partial checkpoint at {path}, re-saving")
         shutil.rmtree(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.tree.map(np.asarray, _strip_static(state)))
-    ckptr.wait_until_finished()
+    # Heartbeat while the save reads the state back through the tunnel: a
+    # flagship light save is ~12 min of device_get during which neither the
+    # log nor /proc rchar moves (tunnel readback is not a read() syscall), so
+    # the wedge supervisor (scripts/supervise.sh: log stale AND rchar frozen
+    # > STALL_S) would SIGTERM a healthy save. Bounded at 45 beats so a save
+    # that is TRULY wedged eventually goes quiet and the supervisor fires.
+    stop = threading.Event()
+    t0 = time.time()
+
+    def _beat():
+        n = 0
+        while not stop.wait(60.0) and n < 45:
+            n += 1
+            print(f"[checkpoint] save in progress ({int(time.time() - t0)}s)",
+                  flush=True)
+
+    th = threading.Thread(target=_beat, daemon=True)
+    th.start()
+    try:
+        ckptr.save(path, jax.tree.map(np.asarray, _strip_static(state)))
+        ckptr.wait_until_finished()
+    finally:
+        stop.set()
+        th.join(timeout=2.0)
     return path
 
 

@@ -92,10 +92,31 @@ def make_stage2_optimizer(
     weight_decay: float = 0.0,
     anneal_steps: int = 0,
     grad_clip_value: float = 0.5,
+    grad_clip_norm: float = 1.0,
 ) -> optax.GradientTransformation:
-    """AdamW with the reference's element-value grad clip (train_util.py:283)."""
+    """AdamW with the reference's element-value grad clip (train_util.py:283)
+    plus a global-norm clip + NaN-zeroing the reference gets implicitly from
+    its fp16 loss-scaler's skip-on-overflow (fp16_util.py / train_util.py:
+    252-266; bf16 needs no loss scaling, so that implicit guard vanished).
+
+    Motivation (round-5 flagship campaign): one catastrophic batch at step
+    ~5750 — window-mean grad_norm 6x normal, i.e. one step with post-value-clip
+    GLOBAL norm ~100 — coherently perturbed all 497M params and collapsed the
+    model to predicting 0 (loss pinned at E[eps^2]=1.0, grad_norm 0.07, no
+    recovery over 300+ steps). Value clipping bounds elements, not the global
+    norm; the norm clip caps such a step at ~5x a typical one. Order matters:
+    value-clip maps Inf elements to finite, zero_nans removes NaNs, THEN the
+    global-norm clip sees only finite values (a direct norm clip of an Inf
+    gradient would turn it into NaN via inf * 0).
+    """
+    clips = []
+    if grad_clip_value > 0:
+        clips.append(optax.clip(grad_clip_value))  # clip_grad_value_, not norm
+    clips.append(optax.zero_nans())
+    if grad_clip_norm > 0:
+        clips.append(optax.clip_by_global_norm(grad_clip_norm))
     return optax.chain(
-        optax.clip(grad_clip_value),  # clip_grad_value_, not norm clip
+        *clips,
         optax.adamw(stage2_lr_schedule(base_lr, anneal_steps), weight_decay=weight_decay),
     )
 

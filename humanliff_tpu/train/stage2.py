@@ -39,6 +39,11 @@ class Stage2Config:
     ema_rates: Tuple[float, ...] = (0.9999,)
     microbatch: int = 0  # 0 = no accumulation
     grad_clip_value: float = 0.5
+    # Global-norm clip + NaN-zeroing: the implicit guard the reference's fp16
+    # loss-scaler provides (skip-on-overflow) that bf16 training loses; one
+    # unclipped catastrophic batch collapsed the round-5 flagship campaign
+    # (see train/optim.py make_stage2_optimizer). 0 disables.
+    grad_clip_norm: float = 1.0
     use_bf16: bool = False
     schedule_sampler: str = "uniform"
     class_cond: bool = True
@@ -57,7 +62,8 @@ def create_stage2_state(
     params: Any, cfg: Stage2Config, num_timesteps: int
 ) -> Stage2State:
     tx = make_stage2_optimizer(
-        cfg.lr, cfg.weight_decay, cfg.lr_anneal_steps, cfg.grad_clip_value
+        cfg.lr, cfg.weight_decay, cfg.lr_anneal_steps, cfg.grad_clip_value,
+        cfg.grad_clip_norm,
     )
     sampler_state = None
     if cfg.schedule_sampler == "loss-second-moment":

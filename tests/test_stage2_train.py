@@ -199,3 +199,27 @@ def test_device_data_example_sharded_multi_device(tmp_path):
     from humanliff_tpu.train import checkpoint as ckpt
 
     assert ckpt.latest_step(logdir) is None
+
+
+def test_optimizer_survives_catastrophic_gradients():
+    """One unclipped catastrophic batch collapsed the round-5 flagship
+    campaign (one step's post-value-clip GLOBAL grad norm ~100 coherently
+    perturbed all 497M params; the model output pinned at 0 with
+    loss = E[eps^2] = 1.0 and never recovered). The hardened stage-2 chain
+    (value clip -> zero_nans -> global-norm clip -> AdamW, train/optim.py)
+    must turn huge/NaN/Inf gradients into bounded, finite updates."""
+    import optax
+
+    from humanliff_tpu.train.optim import make_stage2_optimizer
+
+    tx = make_stage2_optimizer(1e-4, grad_clip_norm=1.0)
+    p = {"w": jnp.ones((8, 8)), "b": jnp.zeros((8,))}
+    s = tx.init(p)
+    for bad in (1e8, float("nan"), float("inf")):
+        g = {"w": jnp.full((8, 8), bad), "b": jnp.full((8,), -0.01)}
+        u, s = tx.update(g, s, p)
+        assert all(
+            np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(u)
+        ), f"non-finite update from gradient {bad}"
+        # Adam bounds per-element steps at ~lr; 72 params -> norm << 1e-2.
+        assert float(optax.global_norm(u)) < 1e-2
