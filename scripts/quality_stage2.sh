@@ -15,9 +15,11 @@
 #
 #   bash scripts/quality_stage2.sh [out_dir] [extra quality_stage2 flags...]
 #
-# Long tunneled runs go under the wedge supervisor (CLAUDE.md):
+# Long tunneled runs go under the wedge supervisor (CLAUDE.md). STALL_S must
+# exceed the fresh-compile silence (~10 min) when the train program is not in
+# the persistent XLA cache yet — see scripts/supervise.sh:
 #   DONE_FILE=runs/quality/stage2/stage2_metrics.json LOG=/tmp/stage2.log \
-#     PIDFILE=/tmp/stage2.pid bash scripts/supervise.sh \
+#     PIDFILE=/tmp/stage2.pid STALL_S=1200 bash scripts/supervise.sh \
 #     bash scripts/quality_stage2.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."

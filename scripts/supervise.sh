@@ -11,6 +11,13 @@
 # when /proc/$PID/io is unreadable the stall detector degrades to a
 # log-mtime-only criterion at double the threshold rather than resetting.
 #
+# STALL_S sizing (round-5 lesson): tunnel readback moves NEITHER the log NOR
+# rchar, so any silent phase longer than STALL_S gets SIGTERM'd as a wedge.
+# Checkpoint saves are covered by train/checkpoint.py's 60 s heartbeat, but a
+# FRESH flagship XLA compile is ~10 min of total silence (and only caches on
+# completion — killing it mid-compile loops forever). Use STALL_S>=1200 for
+# launches whose programs are not yet in the persistent compile cache.
+#
 # Usage:
 #   DONE_FILE=runs/quality/stage2/STAGE2.md LOG=/tmp/stage2.log \
 #     bash scripts/supervise.sh python -u -m humanliff_tpu.cli.quality_stage2 ...
